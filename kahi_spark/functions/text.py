@@ -1,0 +1,104 @@
+"""Text cleaning / fingerprinting (reference ``parse_string``,
+``KahiDb.py:18-21``: unidecode + TeX-command strip + ``[$_^]``
+removal — SURVEY.md F7).
+
+Two implementations with identical semantics:
+
+* ``clean_text_expr`` — pure Catalyst column expression (JVM-side,
+  whole-stage-codegen'd). This is the hot path: at 10^10 events the
+  cleaner must not leave the JVM.
+* ``clean_text_pandas`` — Arrow-batched pandas UDF, used where the
+  caller needs Python-only extensions (``fold_text_pandas`` adds
+  NFKD accent folding, which Catalyst has no builtin for).
+
+Both strip TeX-ish commands (``\\word``), markup chars ``$ _ ^ { }``,
+collapse whitespace runs, and trim.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql import types as T
+
+_TEX_RE = r"\\[a-zA-Z]+"
+_MARKUP_RE = r"[\$_\^{}]"
+_WS_RE = r"\s+"
+
+
+def clean_text_expr(col: Column | str) -> Column:
+    """JVM-side text cleaner (whole-stage codegen; no Python)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, _TEX_RE, "")
+    c = F.regexp_replace(c, _MARKUP_RE, "")
+    c = F.regexp_replace(c, _WS_RE, " ")
+    return F.trim(c)
+
+
+@pandas_udf(T.StringType())
+def clean_text_pandas(s: pd.Series) -> pd.Series:
+    """Arrow-batched cleaner; same semantics as ``clean_text_expr``."""
+    out = s.str.replace(_TEX_RE, "", regex=True)
+    out = out.str.replace(_MARKUP_RE, "", regex=True)
+    out = out.str.replace(_WS_RE, " ", regex=True)
+    return out.str.strip()
+
+
+@pandas_udf(T.StringType())
+def fold_text_pandas(s: pd.Series) -> pd.Series:
+    """Cleaner + NFKD accent folding (the full ``parse_string``
+    analogue, reference ``KahiDb.py:18-21`` — unidecode ≈ NFKD
+    strip of combining marks). Python-only; Arrow-batched.
+    """
+
+    def fold(v: str | None) -> str | None:
+        if v is None:
+            return None
+        return "".join(
+            ch
+            for ch in unicodedata.normalize("NFKD", v)
+            if not unicodedata.combining(ch)
+        )
+
+    out = s.map(fold, na_action="ignore")
+    out = out.str.replace(_TEX_RE, "", regex=True)
+    out = out.str.replace(_MARKUP_RE, "", regex=True)
+    out = out.str.replace(_WS_RE, " ", regex=True)
+    return out.str.strip().str.lower()
+
+
+def token_count_expr(col: Column | str) -> Column:
+    """Whitespace token count (SURVEY.md A8 analogue:
+    ``len(split)`` counts, reference ``Scopus.py:138-140``).
+    NULL/empty → 0. JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(
+        t.isNull() | (t == ""), F.lit(0)
+    ).otherwise(F.size(F.split(t, r"\s+"))).cast("int")
+
+
+def fingerprint_expr(col: Column | str) -> Column:
+    """Document fingerprint: md5 of the lower-cased,
+    whitespace-collapsed text. Deterministic across engines
+    (DuckDB ``md5`` matches), used for exact dedup blocking."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.trim(F.regexp_replace(F.lower(c), _WS_RE, " ")))
+
+
+# Python-side mirrors for unit tests / oracle generation ------------------
+_tex_c = re.compile(_TEX_RE)
+_markup_c = re.compile(_MARKUP_RE)
+_ws_c = re.compile(_WS_RE)
+
+
+def clean_text_py(v: str | None) -> str | None:
+    """Driver-side reference implementation (tests only)."""
+    if v is None:
+        return None
+    return _ws_c.sub(" ", _markup_c.sub("", _tex_c.sub("", v))).strip()

@@ -1,0 +1,167 @@
+"""Deterministic synthetic change-event generator (FIXTURES.md §2-3).
+
+Seeded numpy/pandas; writes Parquet batches via pyarrow (no Spark
+needed so bench harnesses can pre-generate input off the clock).
+Properties (FIXTURES.md §2): geometric turn counts per conversation,
+configurable delete/update rates, one hot conv_id holding ~10% of
+all events (salting/skew test), multi-source duplicate feeds with
+complementary completeness (Kahi-style merge test, reference
+``KahiParser.py:334-666``), raw-role/raw-text noise that the
+normalizer must clean, and out-of-order event times.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+RAW_ROLES = np.array(
+    ["USER", "Assistant", "ai", "human", "SYSTEM", "function", "tool_result", "bot"]
+)
+TOOLS = np.array(["search", "calculator", "browser", "python", "sql"])
+SOURCES = np.array(["lens", "wos", "scopus", "scielo"])
+WORDS = np.array(
+    "the quick brown fox jumps over lazy dog spark merge stream table turn "
+    "agent tool call answer question result data model batch epoch".split()
+)
+
+
+def make_events(
+    n_events: int,
+    n_convs: int | None = None,
+    seed: int = 42,
+    delete_rate: float = 0.03,
+    update_rate: float = 0.15,
+    hot_fraction: float = 0.10,
+    start_epoch: int = 1_704_067_200,  # 2024-01-01 UTC
+) -> pd.DataFrame:
+    """One ordered change-event frame with the EVENT_SCHEMA columns."""
+    rng = np.random.default_rng(seed)
+    n_convs = n_convs or max(4, n_events // 50)
+
+    # conversation assignment: hot key c0 gets ~hot_fraction of events
+    hot = rng.random(n_events) < hot_fraction
+    conv = np.where(hot, 0, rng.integers(1, n_convs, n_events))
+    # geometric-ish turn counts: hot conv has many turns, others few
+    turn = np.where(
+        hot,
+        rng.integers(0, max(8, n_events // 20), n_events),
+        rng.integers(0, 1 + rng.integers(4, 40), n_events),
+    ).astype(np.int32)
+
+    r = rng.random(n_events)
+    op = np.where(
+        r < delete_rate, "delete", np.where(r < delete_rate + update_rate, "update", "insert")
+    )
+
+    role = RAW_ROLES[rng.integers(0, len(RAW_ROLES), n_events)]
+    tool_present = rng.random(n_events) < 0.2
+    tool = np.where(tool_present, TOOLS[rng.integers(0, len(TOOLS), n_events)], None)
+
+    # raw text with TeX-ish noise + embedded tool markers + extra whitespace
+    w = WORDS[rng.integers(0, len(WORDS), (n_events, 6))]
+    base = [" ".join(row) for row in w]
+    noise_kind = rng.integers(0, 4, n_events)
+    embedded = rng.random(n_events) < 0.1
+    text = []
+    for i, b in enumerate(base):
+        t = b
+        if noise_kind[i] == 0:
+            t = f"\\emph {t}  "
+        elif noise_kind[i] == 1:
+            t = f"  {t} $x_i^2$"
+        elif noise_kind[i] == 2:
+            t = t.replace(" ", "   ", 1)
+        if embedded[i]:
+            t = f"<tool:{TOOLS[i % len(TOOLS)]}> {t}"
+        text.append(t)
+
+    # event time: mostly increasing with seq but with late arrivals
+    ts = start_epoch + np.arange(n_events) + rng.integers(-300, 300, n_events)
+
+    df = pd.DataFrame(
+        {
+            "seq": np.arange(n_events, dtype=np.int64),
+            "op": op,
+            "conv_id": np.char.add("c", conv.astype(str)),
+            "turn_idx": turn,
+            "role": role,
+            "text": text,
+            "tool": tool,
+            "ts": pd.to_datetime(ts, unit="s").astype("datetime64[us]"),
+            "source": SOURCES[rng.integers(0, len(SOURCES), n_events)],
+        }
+    )
+    return df
+
+
+def make_multisource_events(n_convs: int = 20, seed: int = 7) -> pd.DataFrame:
+    """FIXTURES.md §3: the SAME turns emitted by multiple feeds with
+    complementary/conflicting completeness — must converge to one
+    canonical record per (conv_id, turn_idx)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    seq = 0
+    for c in range(n_convs):
+        n_turns = int(rng.integers(2, 8))
+        for t in range(n_turns):
+            base_text = " ".join(WORDS[rng.integers(0, len(WORDS), 5)])
+            ts0 = 1_704_067_200 + c * 1000 + t * 10
+            # lens feed: clean text, raw role, no tool
+            rows.append((seq, "insert", f"m{c}", t, "USER" if t % 2 == 0 else "ai",
+                         base_text, None, ts0, "lens")); seq += 1
+            # wos feed: noisy text, has tool, different raw role casing
+            rows.append((seq, "insert", f"m{c}", t, "human" if t % 2 == 0 else "Assistant",
+                         f"\\emph  {base_text} ", "search" if t % 3 == 0 else None,
+                         ts0 + 1, "wos")); seq += 1
+            # scopus feed (priority winner): sparse — only some turns
+            if t % 2 == 0:
+                rows.append((seq, "insert", f"m{c}", t, "user",
+                             base_text.upper(), None, ts0 + 2, "scopus")); seq += 1
+    df = pd.DataFrame(
+        rows, columns=["seq", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts", "source"]
+    )
+    df["turn_idx"] = df["turn_idx"].astype(np.int32)
+    df["ts"] = pd.to_datetime(df["ts"], unit="s").astype("datetime64[us]")
+    return df
+
+
+def write_event_batches(
+    out_dir: str,
+    n_events: int,
+    n_batches: int,
+    seed: int = 42,
+    duplicate_epochs: list[int] | None = None,
+    evolve_at_batch: int | None = None,
+    **kwargs,
+) -> list[str]:
+    """Write the change log as N Parquet batch files (the file-based
+    binlog a Structured Streaming file source tails). Options:
+
+    * ``duplicate_epochs`` — re-deliver whole batches (exactly-once
+      test: the sink ledger must no-op them);
+    * ``evolve_at_batch`` — from that batch on, events carry a new
+      ``meta`` column (schema-evolution test).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    df = make_events(n_events, seed=seed, **kwargs)
+    paths = []
+    per = (len(df) + n_batches - 1) // n_batches
+    for b in range(n_batches):
+        chunk = df.iloc[b * per : (b + 1) * per].copy()
+        if evolve_at_batch is not None and b >= evolve_at_batch:
+            chunk["meta"] = "m" + chunk["seq"].astype(str)
+        p = os.path.join(out_dir, f"batch-{b:05d}.parquet")
+        chunk.to_parquet(p, index=False)
+        paths.append(p)
+    for e in duplicate_epochs or []:
+        src = os.path.join(out_dir, f"batch-{e:05d}.parquet")
+        dup = os.path.join(out_dir, f"batch-{e:05d}-redelivered.parquet")
+        if os.path.exists(src):
+            import shutil
+
+            shutil.copy(src, dup)
+            paths.append(dup)
+    return paths

@@ -1,0 +1,267 @@
+"""Change-event reduction and MERGE semantics (SURVEY.md §2.4).
+
+This is the heart of the engine — the Spark re-expression of Kahi's
+merge machinery:
+
+* ``normalize_events``   — raw change events → canonical columns
+  (reference per-source parsers, ``KahiParser.py:136-206``).
+* ``latest_change_per_key`` — last-writer-wins reduction per
+  ``(conv_id, turn_idx)`` ordered by ``(ts, seq)``; the window-W4
+  "stable turn ordering" rule from BASELINE.json. Optionally salted
+  for hot conv_ids (north_rule skew handling).
+* ``priority_merge``     — Kahi's per-field source-priority
+  coalesce (``join_document``, ``KahiParser.py:334-666``): multiple
+  raw feeds describing the same turn converge to ONE canonical
+  record, each field taken from the highest-priority source that
+  has it.
+* ``merge_changes_into_state`` — pure-DataFrame MERGE INTO
+  semantics (upsert + delete) used by the snapshot sink; the
+  reference analogue is ``insert_one``'s insert-or-``$set`` upsert
+  (``KahiDb.py:864-909``).
+
+Everything here is native DataFrame ops — shuffles happen exactly
+once per reduction (one hash partition by key), aggregations are
+map-side-combinable, and no Python touches the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kahi_spark.functions.roles import canonical_role_expr
+from kahi_spark.functions.text import clean_text_expr
+from kahi_spark.functions.tools import extract_tool_expr
+from kahi_spark.schema import KEY_COLS
+
+#: default source priority, highest first (reference: publication_type
+#: priority scielo→scopus→wos→lens, ``KahiParser.py:366-376``; kept
+#: configurable per SURVEY.md §7 "non-standard merge semantics").
+DEFAULT_SOURCE_PRIORITY = ("scielo", "scopus", "wos", "lens", "scholar", "oadoi")
+
+
+def normalize_events(events: DataFrame, use_pandas_cleaner: bool = False) -> DataFrame:
+    """Raw change events → canonical event columns.
+
+    Role canonicalization (F11), text cleaning (F7), tool-field
+    extraction (J4 analogue) — all JVM-side by default; set
+    ``use_pandas_cleaner`` to route text through the Arrow-batched
+    pandas UDF instead (same semantics, used to benchmark the two
+    paths against each other).
+    """
+    from kahi_spark.functions.text import clean_text_pandas
+    from kahi_spark.functions.tools import strip_tool_marker_expr
+
+    stripped = strip_tool_marker_expr("text")
+    cleaner: Column = (
+        clean_text_pandas(stripped) if use_pandas_cleaner else clean_text_expr(stripped)
+    )
+    return events.withColumns(
+        {
+            "role": canonical_role_expr("role"),
+            # tool first (extracted from raw text), then text loses the marker
+            "tool": extract_tool_expr("text", "tool"),
+            "text": cleaner,
+        }
+    )
+
+
+def _ordering(desc: bool = True) -> list[Column]:
+    """Stable replay order: event time, then log position (W4)."""
+    cols = [F.col("ts"), F.col("seq")]
+    return [c.desc() for c in cols] if desc else [c.asc() for c in cols]
+
+
+def latest_change_per_key(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Reduce a change batch to its final change per key (LWW).
+
+    Within one batch only the LAST change (by ``ts, seq``) per
+    ``(conv_id, turn_idx)`` matters for the final state — a delete
+    followed by a re-insert survives as the insert, an insert
+    followed by updates survives as the last update.
+
+    Implemented as ``row_number() over (partition by key order by
+    ts desc, seq desc) = 1`` — one shuffle on the key.
+
+    ``salt_buckets > 0`` splits hot keys into N sub-partitions
+    first (pre-reduce per salt, then re-reduce unsalted). For a
+    conversation holding ~10% of 10^10 events, the two-phase
+    reduction keeps every task bounded: phase 1 shuffles on
+    ``(key, salt)`` (cardinality × N), phase 2 shuffles only the
+    N survivors per hot key. North_rule skew handling; see also
+    AQE skew-join for the join side.
+    """
+    keys = key_cols or KEY_COLS
+    if salt_buckets > 0:
+        salted = events.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("seq")), F.lit(salt_buckets))
+        )
+        w1 = Window.partitionBy(*keys, "_salt").orderBy(*_ordering(desc=True))
+        survivors = (
+            salted.withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_salt")
+        )
+        events = survivors
+    w = Window.partitionBy(*keys).orderBy(*_ordering(desc=True))
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def priority_merge(
+    events: DataFrame,
+    value_cols: list[str],
+    priority: tuple[str, ...] = DEFAULT_SOURCE_PRIORITY,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Multi-source convergence: one canonical record per key, each
+    field from the highest-priority source that provides it.
+
+    Spark re-expression of ``join_document`` (``KahiParser.py:
+    334-666``): instead of per-field Python overwrite chains, a
+    single ``groupBy(key)`` with, per field,
+    ``coalesce(max(when(source=p0, v)), max(when(source=p1, v)), …)``
+    — one shuffle, map-side partial aggregation, fully
+    Catalyst-optimized. Sources not in ``priority`` rank last (by
+    name, deterministic); within one source the latest ``(ts, seq)``
+    wins first (A1 + W4 composed).
+    """
+    keys = key_cols or KEY_COLS
+    # Within each (key, source), keep the latest version first.
+    per_source = latest_change_per_key(events, key_cols=keys + ["source"])
+
+    def pick(col: str) -> Column:
+        tiers = [
+            F.max(F.when(F.col("source") == p, F.col(col))) for p in priority
+        ]
+        # unknown sources: deterministic fallback (min source name order)
+        known = F.lit(False)
+        for p in priority:
+            known = known | (F.col("source") == p)
+        tiers.append(F.max(F.when(~known, F.col(col))))
+        return F.coalesce(*tiers).alias(col)
+
+    aggs = [pick(c) for c in value_cols]
+    # lineage: which feeds contributed (Kahi's source_checked,
+    # json_schema.txt:10-13) and the latest event time.
+    aggs.append(F.array_sort(F.collect_set("source")).alias("sources"))
+    aggs.append(F.max("ts").alias("ts"))
+    return per_source.groupBy(*keys).agg(*aggs)
+
+
+#: system columns carried inside the stored state (never exposed by
+#: SnapshotTable.read()): the last writer's log position and a
+#: delete tombstone. Tombstones make out-of-order CDC correct: a
+#: delete in epoch N must not be resurrected by an older insert
+#: arriving in epoch N+1 (events are late/out-of-order by design —
+#: the reference tolerates this because Mongo upserts are keyed,
+#: SURVEY.md §2.8; we tolerate it by versioned conditional MERGE).
+SYS_SEQ = "_seq"
+SYS_DELETED = "_deleted"
+_TS_FLOOR = "1970-01-01 00:00:00"
+
+
+def _newer_than(new_ts: Column, new_seq: Column, old_ts: Column, old_seq: Column) -> Column:
+    """LWW ordering: (ts, seq) lexicographic, NULL ts = epoch floor."""
+    nts = F.coalesce(new_ts, F.to_timestamp(F.lit(_TS_FLOOR)))
+    ots = F.coalesce(old_ts, F.to_timestamp(F.lit(_TS_FLOOR)))
+    return (nts > ots) | ((nts == ots) & (new_seq > old_seq))
+
+
+def merge_changes_into_state(
+    state: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str] | None = None,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Versioned MERGE INTO semantics over plain DataFrames.
+
+    ``state`` carries system columns ``_seq`` / ``_deleted``;
+    ``changes`` must already be reduced to ≤1 row per key (use
+    ``latest_change_per_key``) and carry ``op``/``seq``/``ts``.
+
+    WHEN MATCHED AND change is newer AND op='delete' → tombstone
+    WHEN MATCHED AND change is newer                 → UPDATE SET *
+    WHEN MATCHED AND change is older                 → keep target
+    WHEN NOT MATCHED                                 → INSERT *
+                                (deletes insert as tombstones)
+
+    Implemented as one full-outer join on the key — the plan an
+    Iceberg copy-on-write MERGE produces. With both sides bucketed
+    on ``conv_id`` this is a storage-partitioned join on a real
+    cluster; locally it's sort-merge with AQE skew splitting.
+    """
+    keys = key_cols or KEY_COLS
+    vals = value_cols or [
+        c for c in state.columns if c not in keys + [SYS_SEQ, SYS_DELETED]
+    ]
+    ch = changes.select(
+        *keys,
+        F.col("op").alias("_op"),
+        F.col("seq").alias("_new_seq"),
+        *[F.col(c).alias(f"_new_{c}") for c in vals if c in changes.columns],
+    )
+    joined = state.join(ch, on=keys, how="full_outer")
+    has_change = F.col("_op").isNotNull()
+    is_new_row = F.col(SYS_SEQ).isNull()
+    new_ts = F.col("_new_ts") if "_new_ts" in ch.columns else F.lit(None).cast("timestamp")
+    wins = has_change & (
+        is_new_row | _newer_than(new_ts, F.col("_new_seq"), F.col("ts"), F.col(SYS_SEQ))
+    )
+    out_cols: list[Column] = [F.col(k) for k in keys]
+    for c in vals:
+        new_c = f"_new_{c}"
+        if new_c in joined.columns:
+            out_cols.append(F.when(wins, F.col(new_c)).otherwise(F.col(c)).alias(c))
+        else:
+            out_cols.append(F.col(c))
+    out_cols.append(
+        F.when(wins, F.col("_new_seq")).otherwise(F.col(SYS_SEQ)).alias(SYS_SEQ)
+    )
+    out_cols.append(
+        F.when(wins, F.col("_op") == F.lit("delete"))
+        .otherwise(F.coalesce(F.col(SYS_DELETED), F.lit(False)))
+        .alias(SYS_DELETED)
+    )
+    return joined.select(*out_cols)
+
+
+def state_from_reduced(reduced: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
+    """Bootstrap internal state (with system columns) from a reduced
+    change batch — deletes become tombstones."""
+    keys = key_cols or KEY_COLS
+    vals = [c for c in reduced.columns if c not in keys + ["op", "seq", "source"]]
+    return reduced.select(
+        *keys,
+        *vals,
+        F.col("seq").alias(SYS_SEQ),
+        (F.col("op") == "delete").alias(SYS_DELETED),
+    )
+
+
+def reduce_events_to_state(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    value_cols: list[str] | None = None,
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Full replay: change log → final table state in one pass.
+
+    LWW per key, then drop keys whose final op is delete. This is
+    the batch "reference reducer" used for parity checks and the
+    fast path for initial table bootstrap (one shuffle total).
+    """
+    keys = key_cols or KEY_COLS
+    last = latest_change_per_key(events, key_cols=keys, salt_buckets=salt_buckets)
+    live = last.filter(F.col("op") != "delete")
+    vals = value_cols or [
+        c for c in live.columns if c not in keys and c not in ("op", "seq", "source")
+    ]
+    return live.select(*keys, *vals)

@@ -1,0 +1,221 @@
+"""Versioned snapshot table: MERGE upserts, snapshot isolation,
+exactly-once epoch ledger, schema evolution.
+
+The design point is an **Iceberg table bucketed on conv_id** with
+``MERGE INTO`` (north_rule). This sandbox ships no Iceberg runtime
+jar, so the same semantics are provided by a minimal
+snapshot-versioned Parquet table:
+
+* every commit writes a brand-new immutable snapshot directory
+  ``v%08d`` (copy-on-write, like Iceberg COW MERGE), then atomically
+  swaps a JSON manifest pointer — readers always see a consistent
+  snapshot (snapshot isolation);
+* the manifest carries an **epoch ledger**: ``epoch_id → snapshot``
+  recorded in the same atomic pointer swap as the data commit, so a
+  replayed ``foreachBatch`` epoch is detected and skipped —
+  exactly-once end to end (the Spark re-expression of Kahi's
+  ``source_checked`` processed-set filter, reference
+  ``KahiDb.py:180,313-315`` and checkpoint append ``Kahi.py:191-200``);
+* the manifest also stores per-commit **lineage + watermark +
+  metrics** (rows upserted/deleted, max event ts per commit, wall
+  seconds) — the checkpoint-store tables of SURVEY.md §4.5;
+* **schema evolution**: new columns arriving in a change batch are
+  added to the table schema (old rows read as NULL), mirroring
+  Iceberg ADD COLUMN / Kahi's ad-hoc field addition
+  (``Scopus.py:92-100``).
+
+Layout: each snapshot is written ``repartition(n_buckets, conv_id)``
+— a stable hash layout on the merge key so the MERGE join
+co-partitions state with incoming changes (on a real cluster this is
+the Iceberg ``bucket(N, conv_id)`` transform enabling
+storage-partitioned joins; locally it keeps the sort-merge join's
+shuffle of the state side cheap and skew-balanced).
+
+The reference analogue of MERGE itself is ``insert_one``'s
+insert-or-``$set`` upsert, ``KahiDb.py:864-909``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kahi_spark.operators.merge import (
+    SYS_DELETED,
+    SYS_SEQ,
+    latest_change_per_key,
+    merge_changes_into_state,
+    state_from_reduced,
+)
+from kahi_spark.schema import KEY_COLS, evolve_schema
+
+_MANIFEST = "_manifest.json"
+
+
+class SnapshotTable:
+    """A MERGE-able, snapshot-isolated, epoch-ledgered table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str] | None = None,
+        n_buckets: int = 16,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.key_cols = key_cols or KEY_COLS
+        self.n_buckets = n_buckets
+        os.makedirs(path, exist_ok=True)
+
+    # --- manifest ---------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, _MANIFEST)
+
+    def _read_manifest(self) -> dict:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return {"version": 0, "snapshot": None, "epochs": {}, "commits": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit_manifest(self, manifest: dict) -> None:
+        """Atomic pointer swap (os.replace is atomic on POSIX)."""
+        tmp = self._manifest_path() + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, default=str)
+        os.replace(tmp, self._manifest_path())
+
+    # --- reads ------------------------------------------------------------
+    def exists(self) -> bool:
+        return self._read_manifest()["snapshot"] is not None
+
+    def read(self) -> DataFrame:
+        """Current snapshot, live rows, user columns only."""
+        df = self.read_internal()
+        return df.filter(~F.col(SYS_DELETED)).drop(SYS_SEQ, SYS_DELETED)
+
+    def read_internal(self) -> DataFrame:
+        """Current snapshot including tombstones + system columns."""
+        m = self._read_manifest()
+        if m["snapshot"] is None:
+            raise FileNotFoundError(f"table {self.path} has no committed snapshot")
+        return self.spark.read.parquet(os.path.join(self.path, m["snapshot"]))
+
+    def committed_epochs(self) -> set[int]:
+        return {int(e) for e in self._read_manifest()["epochs"]}
+
+    def history(self) -> list[dict]:
+        """Commit log: lineage, watermarks, metrics per commit."""
+        return self._read_manifest()["commits"]
+
+    # --- writes -----------------------------------------------------------
+    def _write_snapshot(self, df: DataFrame, version: int) -> str:
+        snap = f"v{version:08d}"
+        out = os.path.join(self.path, snap)
+        (
+            df.repartition(self.n_buckets, *[F.col(k) for k in self.key_cols])
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        return snap
+
+    def init(self, df: DataFrame, epoch_id: int | None = None) -> None:
+        """Create the table from an initial state (bootstrap load).
+
+        ``df`` is plain user rows (no op/system columns); they enter
+        as live rows with log position -1 (any real change wins).
+        """
+        state = df.withColumn(SYS_SEQ, F.lit(-1).cast("long")).withColumn(
+            SYS_DELETED, F.lit(False)
+        )
+        self._commit(state, epoch_id=epoch_id, op="init", rows_in=df.count())
+
+    def _commit(self, new_state: DataFrame, epoch_id: int | None, op: str, **metrics) -> None:
+        m = self._read_manifest()
+        version = m["version"] + 1
+        t0 = time.time()
+        snap = self._write_snapshot(new_state, version)
+        m["version"] = version
+        m["snapshot"] = snap
+        if epoch_id is not None:
+            m["epochs"][str(epoch_id)] = version
+        m["commits"].append(
+            {
+                "version": version,
+                "epoch_id": epoch_id,
+                "op": op,
+                "wall_s": round(time.time() - t0, 3),
+                **metrics,
+            }
+        )
+        self._commit_manifest(m)
+        self._gc(keep=4)
+
+    def _gc(self, keep: int) -> None:
+        """Drop snapshot dirs older than the last ``keep`` versions
+        (Iceberg expire_snapshots analogue)."""
+        m = self._read_manifest()
+        live = {f"v{v:08d}" for v in range(max(1, m["version"] - keep + 1), m["version"] + 1)}
+        for d in os.listdir(self.path):
+            if d.startswith("v") and d not in live and os.path.isdir(os.path.join(self.path, d)):
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+
+    def merge(
+        self,
+        changes: DataFrame,
+        epoch_id: int,
+        value_cols: list[str] | None = None,
+    ) -> bool:
+        """MERGE a change batch (with ``op`` column) into the table.
+
+        Idempotent: a replayed epoch_id is a committed no-op.
+        Returns True if the epoch was applied, False if skipped.
+        """
+        m = self._read_manifest()
+        if str(epoch_id) in m["epochs"]:
+            return False  # exactly-once: epoch already committed
+
+        reduced = latest_change_per_key(changes, key_cols=self.key_cols)
+
+        if m["snapshot"] is None:
+            state = state_from_reduced(reduced, key_cols=self.key_cols)
+            wm = changes.agg(F.max("ts")).collect()[0][0]
+            self._commit(state, epoch_id=epoch_id, op="merge", watermark=str(wm))
+            return True
+
+        state = self.read_internal()
+        # schema evolution: new value columns in the batch → ADD COLUMN
+        incoming_vals = [
+            f for f in reduced.schema.fields
+            if f.name not in self.key_cols + ["op", "seq", "source"]
+        ]
+        evolved, added = evolve_schema(
+            T.StructType([f for f in state.schema.fields if f.name not in (SYS_SEQ, SYS_DELETED)]),
+            T.StructType(incoming_vals),
+        )
+        for f in added:
+            state = state.withColumn(f.name, F.lit(None).cast(f.dataType))
+
+        vals = value_cols or [
+            c for c in state.columns if c not in self.key_cols + [SYS_SEQ, SYS_DELETED]
+        ]
+        new_state = merge_changes_into_state(
+            state, reduced, key_cols=self.key_cols, value_cols=vals
+        )
+        wm = changes.agg(F.max("ts")).collect()[0][0]
+        self._commit(
+            new_state,
+            epoch_id=epoch_id,
+            op="merge",
+            watermark=str(wm),
+            added_columns=[f.name for f in added],
+        )
+        return True

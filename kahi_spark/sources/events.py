@@ -1,0 +1,87 @@
+"""Change-log sources.
+
+* ``read_event_log`` / ``stream_event_log`` — batch / streaming
+  readers over a Parquet binlog directory (the CDC reframing of
+  Kahi's stage-collection iteration, reference ``KahiDb.py:476,517``).
+  In production the same pipeline would point at Kafka; the file
+  source keeps the sandbox hermetic while exercising identical
+  Structured Streaming semantics (offsets, ordered discovery).
+* ``derive_transcript_events`` — deterministic projection of the
+  driver's generic ``events`` table into the transcript change-log
+  shape. Defined ONCE as ANSI SQL so the Spark engine and the DuckDB
+  oracle run literally the same derivation (parity by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kahi_spark.schema import EVENT_SCHEMA
+
+# ANSI SQL, valid in both Spark SQL and DuckDB. Maps the driver's
+# (event_id, ts, user_id, event_type, value, props) rows into
+# insert/update/delete transcript events with raw roles and noisy
+# text that the normalizer must canonicalize. NOTE: the TeX-ish
+# backslash is spelled chr(92) because Spark SQL unescapes
+# backslashes in string literals and DuckDB does not — chr(92) is
+# the portable spelling.
+DERIVE_EVENTS_SQL = """
+SELECT
+    event_id                                   AS seq,
+    CASE
+        WHEN event_type = 'purchase' THEN 'delete'
+        WHEN event_type IN ('view', 'signup') THEN 'insert'
+        ELSE 'update'
+    END                                        AS op,
+    'c' || CAST(user_id % 40 AS STRING)        AS conv_id,
+    CAST(event_id % 25 AS INT)                 AS turn_idx,
+    CASE event_type
+        WHEN 'view'     THEN 'USER'
+        WHEN 'click'    THEN 'Assistant'
+        WHEN 'signup'   THEN 'SYSTEM'
+        WHEN 'error'    THEN 'function'
+        ELSE 'ai'
+    END                                        AS role,
+    '  ' || chr(92) || 'emph ' || event_type || '  turn $'
+        || CAST(event_id AS STRING) || '$ ' || props AS text,
+    CASE WHEN event_type = 'error' THEN 'search' ELSE NULL END AS tool,
+    ts                                         AS ts,
+    'src' || CAST(event_id % 3 AS STRING)      AS source
+FROM {events}
+"""
+
+
+def derive_transcript_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript change log derived from the driver events table."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events.createOrReplaceTempView("_raw_events")
+    return spark.sql(DERIVE_EVENTS_SQL.format(events="_raw_events"))
+
+
+def derive_events_duckdb_sql(events_view: str = "events") -> str:
+    """The same derivation as a DuckDB subquery (oracle side)."""
+    return DERIVE_EVENTS_SQL.format(events=events_view)
+
+
+def read_event_log(spark: SparkSession, path: str) -> DataFrame:
+    """Batch scan of the Parquet binlog directory (SURVEY.md S1)."""
+    return spark.read.schema(EVENT_SCHEMA).option("mergeSchema", "true").parquet(path)
+
+
+def stream_event_log(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Structured Streaming tail of the binlog directory.
+
+    ``maxFilesPerTrigger=1`` makes each binlog batch one micro-batch
+    (one epoch), which is what the exactly-once ledger keys on.
+    """
+    return (
+        spark.readStream.schema(schema or EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("latestFirst", "false")
+        .parquet(path)
+    )

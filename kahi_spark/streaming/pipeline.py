@@ -1,0 +1,100 @@
+"""The end-to-end CDC pipeline: binlog tail → normalize → MERGE.
+
+``readStream`` over the Parquet binlog → ``foreachBatch``:
+normalize (vectorized, JVM-side) → LWW-reduce per key → MERGE into
+the snapshot table, exactly-once via the epoch ledger.
+
+Reference analogue: EP1 ``parallel_all_from_collection``
+(``Kahi.py:172-175`` → extract/transform/link/load per record) —
+here the per-record thread fanout becomes Spark task parallelism
+inside one declarative plan per micro-batch (SURVEY.md §3 EP1
+"Spark shape").
+
+Failure model (north_rule: resumable from checkpoint, exactly-once):
+
+* The Structured Streaming checkpoint tracks which binlog files are
+  consumed — restart resumes at the next unconsumed file.
+* If a crash lands AFTER the sink commit but BEFORE the checkpoint
+  write, the restarted query re-delivers the epoch; the sink's
+  epoch ledger detects ``epoch_id`` already committed and no-ops —
+  the Kahi `source_checked` anti-join re-expressed
+  (``KahiDb.py:313-315``).
+* If the same *data* (not epoch) arrives twice in different files,
+  the keyed LWW MERGE is idempotent (same ``(ts, seq)`` wins), so
+  state converges anyway.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kahi_spark.operators.merge import normalize_events
+from kahi_spark.sinks.snapshot import SnapshotTable
+from kahi_spark.sources.events import stream_event_log
+
+
+class CdcPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        event_dir: str,
+        table: SnapshotTable,
+        checkpoint_dir: str,
+        schema=None,
+        use_pandas_cleaner: bool = False,
+        max_files_per_trigger: int = 1,
+    ) -> None:
+        self.spark = spark
+        self.event_dir = event_dir
+        self.table = table
+        self.checkpoint_dir = checkpoint_dir
+        self.schema = schema
+        self.use_pandas_cleaner = use_pandas_cleaner
+        self.max_files_per_trigger = max_files_per_trigger
+        self.metrics: list[dict] = []
+
+    def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        t0 = time.time()
+        n = batch.count()
+        if n == 0:
+            return
+        normalized = normalize_events(batch, use_pandas_cleaner=self.use_pandas_cleaner)
+        applied = self.table.merge(normalized, epoch_id=epoch_id)
+        wall = time.time() - t0
+        self.metrics.append(
+            {
+                "epoch_id": epoch_id,
+                "events": n,
+                "applied": applied,
+                "wall_s": round(wall, 3),
+                "events_per_sec": round(n / wall, 1) if wall > 0 else None,
+            }
+        )
+
+    def run_until_idle(self, timeout_s: float = 300.0) -> list[dict]:
+        """Process all available binlog files, then stop.
+
+        ``availableNow`` drains everything currently in the log in
+        bounded micro-batches and shuts down — the batch-with-resume
+        execution mode (Kahi's whole-collection run), while a
+        production deployment would use ``trigger(processingTime=…)``
+        on the same query.
+        """
+        stream = stream_event_log(
+            self.spark,
+            self.event_dir,
+            schema=self.schema,
+            max_files_per_trigger=self.max_files_per_trigger,
+        )
+        q = (
+            stream.writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        if q.isActive:
+            q.stop()
+        return self.metrics

@@ -1,0 +1,16 @@
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from kahi_spark.session import get_spark
+
+    s = get_spark(app_name="kahi_spark_tests", master="local[4]", shuffle_partitions=4)
+    yield s
+
+
+@pytest.fixture()
+def tmp_table_dir(tmp_path):
+    return str(tmp_path / "table")

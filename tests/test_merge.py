@@ -1,0 +1,168 @@
+"""Merge operators (SURVEY.md §2.4-2.5): LWW reduction, salting
+equivalence, priority merge, MERGE-into-state semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kahi_spark.operators.merge import (
+    latest_change_per_key,
+    merge_changes_into_state,
+    priority_merge,
+    reduce_events_to_state,
+)
+
+
+from kahi_spark.schema import EVENT_SCHEMA
+
+
+def ts(i: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)
+
+
+EVENT_COLS = EVENT_SCHEMA
+
+
+def ev(seq, op, conv, turn, text, t, role="user", tool=None, source="lens"):
+    return (seq, op, conv, turn, role, text, tool, ts(t), source)
+
+
+def test_lww_per_key(spark):
+    rows = [
+        ev(0, "insert", "c1", 0, "v1", 0),
+        ev(1, "update", "c1", 0, "v2", 10),
+        ev(2, "update", "c1", 0, "late", 5),  # older ts, higher seq → loses
+        ev(3, "insert", "c1", 1, "t1", 1),
+        ev(4, "delete", "c1", 1, None, 20),
+        ev(5, "insert", "c2", 0, "x", 2),
+    ]
+    df = spark.createDataFrame(rows, EVENT_COLS)
+    last = latest_change_per_key(df).orderBy("conv_id", "turn_idx").collect()
+    assert [(r.conv_id, r.turn_idx, r.op, r.text) for r in last] == [
+        ("c1", 0, "update", "v2"),
+        ("c1", 1, "delete", None),
+        ("c2", 0, "insert", "x"),
+    ]
+    state = reduce_events_to_state(df).orderBy("conv_id", "turn_idx").collect()
+    assert [(r.conv_id, r.turn_idx, r.text) for r in state] == [
+        ("c1", 0, "v2"),
+        ("c2", 0, "x"),
+    ]
+
+
+def test_lww_tie_broken_by_seq(spark):
+    rows = [ev(0, "insert", "c1", 0, "a", 0), ev(1, "update", "c1", 0, "b", 0)]
+    df = spark.createDataFrame(rows, EVENT_COLS)
+    got = latest_change_per_key(df).collect()
+    assert len(got) == 1 and got[0].text == "b"
+
+
+def test_salted_reduction_equivalent(spark):
+    from kahi_spark.gen import make_events
+
+    pdf = make_events(2000, n_convs=10, seed=11, hot_fraction=0.5)
+    df = spark.createDataFrame(pdf)
+    plain = {
+        (r.conv_id, r.turn_idx): (r.op, r.text, r.seq)
+        for r in latest_change_per_key(df).collect()
+    }
+    salted = {
+        (r.conv_id, r.turn_idx): (r.op, r.text, r.seq)
+        for r in latest_change_per_key(df, salt_buckets=8).collect()
+    }
+    assert plain == salted
+
+
+def test_priority_merge_converges_multisource(spark):
+    from kahi_spark.gen import make_multisource_events
+    from kahi_spark.operators.merge import normalize_events
+
+    pdf = make_multisource_events(n_convs=5)
+    df = normalize_events(spark.createDataFrame(pdf))
+    merged = priority_merge(df, value_cols=["role", "text", "tool"])
+    # exactly one canonical record per key (BASELINE.json mandate)
+    assert merged.groupBy("conv_id", "turn_idx").count().filter("count > 1").count() == 0
+    n_keys = df.select("conv_id", "turn_idx").distinct().count()
+    assert merged.count() == n_keys
+    # field-level priority: scopus text wins where present; tool only
+    # wos provides it → taken from wos (complement semantics)
+    row = merged.filter((F.col("conv_id") == "m0") & (F.col("turn_idx") == 0)).collect()[0]
+    assert row.text == row.text.upper()  # scopus version was uppercased
+    assert row.tool == "search"  # only wos had it
+    assert sorted(row.sources) == ["lens", "scopus", "wos"]
+
+
+def test_priority_merge_unknown_source_fallback(spark):
+    rows = [
+        ev(0, "insert", "c1", 0, "from-mystery", 0, source="mystery"),
+        ev(1, "insert", "c1", 0, None, 1, source="zzz"),
+    ]
+    df = spark.createDataFrame(rows, EVENT_COLS)
+    got = priority_merge(df, value_cols=["text"]).collect()[0]
+    assert got.text == "from-mystery"
+
+
+def _mk_state(spark, rows):
+    from pyspark.sql import types as T
+
+    from kahi_spark.schema import TRANSCRIPT_SCHEMA
+    from kahi_spark.operators.merge import SYS_DELETED, SYS_SEQ
+
+    schema = T.StructType(
+        TRANSCRIPT_SCHEMA.fields
+        + [T.StructField(SYS_SEQ, T.LongType()), T.StructField(SYS_DELETED, T.BooleanType())]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _live(out):
+    return [
+        (r.conv_id, r.turn_idx, r.text)
+        for r in out.filter(~F.col("_deleted")).orderBy("conv_id", "turn_idx").collect()
+    ]
+
+
+def test_merge_changes_into_state(spark):
+    state = _mk_state(
+        spark,
+        [
+            ("c1", 0, "user", "old", None, ts(0), 0, False),
+            ("c1", 1, "user", "keep", None, ts(0), 1, False),
+        ],
+    )
+    changes = spark.createDataFrame(
+        [
+            ev(10, "update", "c1", 0, "new", 100),
+            ev(11, "delete", "c1", 1, None, 100),
+            ev(12, "insert", "c2", 5, "born", 100),
+        ],
+        EVENT_COLS,
+    )
+    reduced = latest_change_per_key(changes)
+    out = merge_changes_into_state(state, reduced)
+    assert _live(out) == [("c1", 0, "new"), ("c2", 5, "born")]
+    # the delete is a tombstone, not a dropped row
+    assert out.filter(F.col("_deleted")).count() == 1
+
+
+def test_merge_out_of_order_change_loses(spark):
+    """A later epoch delivering an OLDER event must not clobber newer
+    state, and an older insert must not resurrect a tombstone."""
+    state = _mk_state(
+        spark,
+        [
+            ("c1", 0, "user", "newer", None, ts(100), 50, False),
+            ("c1", 1, "user", None, None, ts(100), 51, True),  # tombstone
+        ],
+    )
+    changes = spark.createDataFrame(
+        [
+            ev(10, "update", "c1", 0, "stale", 5),
+            ev(11, "insert", "c1", 1, "zombie", 5),
+        ],
+        EVENT_COLS,
+    )
+    out = merge_changes_into_state(state, latest_change_per_key(changes))
+    assert _live(out) == [("c1", 0, "newer")]

@@ -1,0 +1,81 @@
+"""Snapshot table: MERGE semantics, snapshot isolation, exactly-once
+epoch ledger, schema evolution, lineage/metrics (SURVEY.md S8/S9/§4)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kahi_spark.schema import EVENT_SCHEMA
+from kahi_spark.sinks.snapshot import SnapshotTable
+
+
+def ts(i: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)
+
+
+def ev(seq, op, conv, turn, text, t, role="user", tool=None, source="lens"):
+    return (seq, op, conv, turn, role, text, tool, ts(t), source)
+
+
+def events_df(spark, rows):
+    return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+
+def test_merge_upsert_delete_cycle(spark, tmp_table_dir):
+    t = SnapshotTable(spark, tmp_table_dir, n_buckets=4)
+    assert not t.exists()
+    t.merge(events_df(spark, [ev(0, "insert", "c1", 0, "a", 0),
+                              ev(1, "insert", "c1", 1, "b", 1)]), epoch_id=0)
+    assert t.exists()
+    assert t.read().count() == 2
+
+    # update + delete + insert in one epoch
+    t.merge(events_df(spark, [ev(2, "update", "c1", 0, "a2", 10),
+                              ev(3, "delete", "c1", 1, None, 11),
+                              ev(4, "insert", "c2", 0, "c", 12)]), epoch_id=1)
+    got = {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()}
+    assert got == {("c1", 0): "a2", ("c2", 0): "c"}
+
+
+def test_epoch_ledger_exactly_once(spark, tmp_table_dir):
+    t = SnapshotTable(spark, tmp_table_dir, n_buckets=2)
+    batch = events_df(spark, [ev(0, "insert", "c1", 0, "a", 0)])
+    assert t.merge(batch, epoch_id=7) is True
+    # replay of the same epoch (foreachBatch retry) must no-op
+    poison = events_df(spark, [ev(9, "update", "c1", 0, "POISON", 99)])
+    assert t.merge(poison, epoch_id=7) is False
+    assert t.read().collect()[0].text == "a"
+    assert t.committed_epochs() == {7}
+
+
+def test_snapshot_isolation_reader_sees_old_version(spark, tmp_table_dir):
+    t = SnapshotTable(spark, tmp_table_dir, n_buckets=2)
+    t.merge(events_df(spark, [ev(0, "insert", "c1", 0, "v1", 0)]), epoch_id=0)
+    reader = t.read()  # bound to snapshot v1
+    t.merge(events_df(spark, [ev(1, "update", "c1", 0, "v2", 1)]), epoch_id=1)
+    assert reader.collect()[0].text == "v1"  # old snapshot still readable
+    assert t.read().collect()[0].text == "v2"
+
+
+def test_schema_evolution_add_column(spark, tmp_table_dir):
+    t = SnapshotTable(spark, tmp_table_dir, n_buckets=2)
+    t.merge(events_df(spark, [ev(0, "insert", "c1", 0, "a", 0)]), epoch_id=0)
+    evolved = events_df(spark, [ev(1, "insert", "c2", 0, "b", 1)]).withColumn(
+        "meta", F.lit("m1")
+    )
+    t.merge(evolved, epoch_id=1)
+    out = t.read()
+    assert "meta" in out.columns
+    got = {r.conv_id: r.meta for r in out.collect()}
+    assert got == {"c1": None, "c2": "m1"}  # old rows read as NULL
+    assert t.history()[-1]["added_columns"] == ["meta"]
+
+
+def test_lineage_and_watermark_recorded(spark, tmp_table_dir):
+    t = SnapshotTable(spark, tmp_table_dir, n_buckets=2)
+    t.merge(events_df(spark, [ev(0, "insert", "c1", 0, "a", 5)]), epoch_id=0)
+    h = t.history()
+    assert h[-1]["epoch_id"] == 0
+    assert "2024-01-01 00:00:05" in h[-1]["watermark"]
