@@ -1,0 +1,199 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ..., "scaling": {...}}
+
+Two parts:
+
+1. Headline queries at $SPARK_GRAFT_SF_DIR (default
+   /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] — per-query
+   wall seconds (result fully materialized via count()).
+2. Scaling-efficiency evidence (north_rule: ≥0.8 from N→4N
+   executors; sandbox stand-in = the same CDC change-apply job at
+   local[8] then local[32] over the same pre-generated event log):
+   events/sec at both parallelism levels and
+   efficiency = (tput_4N / tput_N) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALING_EVENTS = int(os.environ.get("KAHI_BENCH_SCALING_EVENTS", "24000000"))
+
+HEADLINE = [
+    "cdc_apply_lww",
+    "cdc_multisource_merge",
+    "cdc_stable_readback",
+    "pricing_summary",
+    "top_revenue_orders",
+    "nation_revenue",
+    "latest_order_per_customer",
+    "text_stats",
+    "exact_dedup",
+    "ngram_jaccard_neardup",
+    "minhash_lsh_neardup",
+    "knn_cosine",
+]
+
+
+def sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def fresh_session(master: str, shuffle_partitions: int):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    from kahi_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"kahi_bench_{master}",
+        master=master,
+        shuffle_partitions=shuffle_partitions,
+    )
+
+
+def run_headline(spark) -> dict[str, float]:
+    from kahi_spark.queries import QUERIES
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = QUERIES[name]
+        t0 = time.time()
+        q(spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def cdc_apply_job(spark, event_path: str) -> int:
+    """The scaling workload: read change log → normalize → LWW reduce
+    → checksum of the full final state (the end-to-end change-apply
+    pass minus file-sink I/O, which at cluster scale is
+    object-store-bound).
+
+    Materialized via xxhash64-checksum over EVERY column — a bare
+    count() would let Catalyst prune the normalize expressions out
+    of the plan and the bench would measure only the shuffle."""
+    from pyspark.sql import functions as F
+
+    from kahi_spark.operators.merge import normalize_events, reduce_events_to_state
+
+    ev = spark.read.parquet(event_path)
+    state = reduce_events_to_state(normalize_events(ev))
+    row = state.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.bit_xor(F.xxhash64(*[F.col(c) for c in state.columns])).alias("chk"),
+    ).collect()[0]
+    return row.rows
+
+
+def _measure_once(master: str, parts: int, event_path: str) -> dict:
+    """One warmup + two measured runs (min) of the change-apply job.
+    Min-of-2 inside the subprocess guards against transient VM noise
+    (CPU steal) polluting a single measurement."""
+    spark = fresh_session(master, parts)
+    cdc_apply_job(spark, event_path)  # warmup (JIT, page cache)
+    walls = []
+    rows = 0
+    for _ in range(2):
+        t0 = time.time()
+        rows = cdc_apply_job(spark, event_path)
+        walls.append(time.time() - t0)
+    spark.stop()
+    return {"wall_s": round(min(walls), 3), "rows": rows}
+
+
+def run_scaling(tmp: str) -> dict:
+    """Each measurement runs in its OWN subprocess → fresh JVM.
+
+    Reusing one JVM across SparkContexts contaminates timings (heap
+    fragmentation / GC debt from the previous context); observed
+    variance was >3× before isolating."""
+    import subprocess
+
+    from kahi_spark.gen import generate_events_spark
+
+    event_path = os.path.join(tmp, "scaling-events")
+    gen_spark = fresh_session(f"local[{CPUS}]", CPUS)
+    generate_events_spark(gen_spark, SCALING_EVENTS, event_path, n_files=128)
+    gen_spark.stop()
+
+    repeats = int(os.environ.get("KAHI_BENCH_REPEATS", "2"))
+    out = {"events": SCALING_EVENTS}
+    for label, master, parts in (("n8", "local[8]", 8), ("n32", "local[32]", 32)):
+        walls = []
+        rows = None
+        for _ in range(repeats):
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--measure", master, str(parts), event_path],
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            rec = json.loads(res.stdout.strip().splitlines()[-1])
+            walls.append(rec["wall_s"])
+            rows = rec["rows"]
+        best = min(walls)
+        out[label] = {
+            "wall_s": best,
+            "all_wall_s": walls,
+            "events_per_sec": round(SCALING_EVENTS / best, 1),
+            "rows": rows,
+        }
+    eff = (out["n32"]["events_per_sec"] / out["n8"]["events_per_sec"]) / 4.0
+    out["parallelism_ratio"] = 4
+    out["scaling_efficiency"] = round(eff, 3)
+    return out
+
+
+def main() -> None:
+    tmp = "/tmp/kahi_bench"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+
+    spark = fresh_session(f"local[{CPUS}]", CPUS)
+    # warmup: touch every input once (page cache + codegen)
+    run_headline(spark)
+    queries = run_headline(spark)
+    spark.stop()
+
+    scaling = {}
+    if os.environ.get("KAHI_BENCH_SKIP_SCALING") != "1":
+        scaling = run_scaling(tmp)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf_from_dir(SF_DIR),
+                "scaling": scaling,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--measure":
+        _, _, master, parts, event_path = sys.argv
+        print(json.dumps(_measure_once(master, int(parts), event_path)))
+    else:
+        main()

@@ -128,6 +128,94 @@ def make_multisource_events(n_convs: int = 20, seed: int = 7) -> pd.DataFrame:
     return df
 
 
+def generate_events_spark(
+    spark,
+    n_events: int,
+    out_path: str,
+    n_files: int = 64,
+    seed: int = 42,
+    n_convs: int | None = None,
+    hot_fraction: float = 0.10,
+    delete_rate: float = 0.03,
+    update_rate: float = 0.15,
+    start_epoch: int = 1_704_067_200,
+):
+    """Distributed deterministic event generation (bench-scale input).
+
+    Same statistical shape as ``make_events`` but built from
+    ``spark.range`` + xxhash64-derived pseudo-randomness — fully
+    parallel and deterministic, so 10^7-10^8-event bench inputs
+    materialize in seconds instead of minutes of driver-side pandas.
+    This is also the 100 TB story: test data is generated BY the
+    cluster, never funneled through one node.
+    """
+    from pyspark.sql import functions as F
+
+    n_convs = n_convs or max(4, n_events // 50)
+
+    def h(salt: int):
+        return F.abs(F.xxhash64(F.col("seq"), F.lit(seed), F.lit(salt)))
+
+    def unit(salt: int):  # uniform [0,1) with 4 digits
+        return (h(salt) % 10000) / 10000.0
+
+    roles = F.array(*[F.lit(r) for r in RAW_ROLES.tolist()])
+    tools = F.array(*[F.lit(t) for t in TOOLS.tolist()])
+    sources = F.array(*[F.lit(s) for s in SOURCES.tolist()])
+    words = F.array(*[F.lit(w) for w in WORDS.tolist()])
+
+    hot = unit(1) < hot_fraction
+    conv = F.when(hot, F.lit(0)).otherwise(h(2) % F.lit(max(1, n_convs - 1)) + 1)
+    turn = F.when(hot, h(3) % F.lit(max(8, n_events // 20))).otherwise(h(3) % 30)
+    r_op = unit(4)
+    op = (
+        F.when(r_op < delete_rate, F.lit("delete"))
+        .when(r_op < delete_rate + update_rate, F.lit("update"))
+        .otherwise(F.lit("insert"))
+    )
+    base_text = F.concat_ws(
+        " ", *[F.element_at(words, (h(10 + k) % len(WORDS) + 1).cast("int")) for k in range(6)]
+    )
+    noise = h(20) % 4
+    text = (
+        F.when(noise == 0, F.concat(F.lit("\\emph "), base_text, F.lit("  ")))
+        .when(noise == 1, F.concat(F.lit("  "), base_text, F.lit(" $x_i^2$")))
+        .when(
+            noise == 2,
+            F.concat(
+                F.lit("<tool:"),
+                F.element_at(tools, (h(21) % len(TOOLS) + 1).cast("int")),
+                F.lit("> "),
+                base_text,
+            ),
+        )
+        .otherwise(base_text)
+    )
+    tool = F.when(
+        unit(5) < 0.2, F.element_at(tools, (h(22) % len(TOOLS) + 1).cast("int"))
+    )
+    ts = F.timestamp_seconds(
+        F.lit(start_epoch) + F.col("seq") + (h(6) % 600) - 300
+    )
+    df = (
+        spark.range(0, n_events, 1, n_files)
+        .select(F.col("id").alias("seq"))
+        .select(
+            "seq",
+            op.alias("op"),
+            F.concat(F.lit("c"), conv.cast("string")).alias("conv_id"),
+            turn.cast("int").alias("turn_idx"),
+            F.element_at(roles, (h(7) % len(RAW_ROLES) + 1).cast("int")).alias("role"),
+            text.alias("text"),
+            tool.alias("tool"),
+            ts.alias("ts"),
+            F.element_at(sources, (h(8) % len(SOURCES) + 1).cast("int")).alias("source"),
+        )
+    )
+    df.write.mode("overwrite").parquet(out_path)
+    return out_path
+
+
 def write_event_batches(
     out_dir: str,
     n_events: int,

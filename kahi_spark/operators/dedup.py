@@ -1,0 +1,288 @@
+"""Near-duplicate detection operators (training-data pipeline ops;
+the scale path for the reference's fuzzy similarity dedup, J3 —
+``KahiDb.py:23-102,385-450`` — re-expressed as blocked joins so the
+O(N·M) candidate loop never happens).
+
+All operators are pure DataFrame: shingling with higher-order array
+functions, hashing with ``xxhash64`` (JVM), candidate generation via
+equi-joins on block keys. No Python in the hot path.
+
+At 100 TB: the shingle/band join is the only shuffle; its key space
+(band_idx, band_signature) is high-cardinality and uniform by
+construction, so no skew; candidates are a tiny fraction of pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime modulus for the universal-hash permutation family
+_P = (1 << 31) - 1
+
+
+def shingle_df(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """id → exploded distinct word n-gram shingles.
+
+    Deliberately does NOT carry a per-doc shingle count: selecting
+    ``size(grams)`` next to ``explode(grams)`` makes Catalyst's
+    projection collapse re-evaluate the whole split/transform/
+    array_distinct tree once per EXPLODED row (observed 15×+
+    slowdown in ``.explain("formatted")``). Use
+    ``shingle_counts`` on the exploded frame instead.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(n)]
+            ),
+        )
+    )
+    return docs.select(F.col(id_col), F.explode(grams).alias("shingle"))
+
+
+def shingle_counts(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-doc distinct-shingle counts from the exploded frame (one
+    map-side-combinable aggregation; shingles are already distinct)."""
+    return shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+
+def jaccard_pairs(
+    shingles: DataFrame, id_col: str = "doc_id", threshold: float = 0.8
+) -> DataFrame:
+    """Exact Jaccard ≥ threshold pairs from an exploded shingle frame:
+    shingle equi-join (blocking — the cross product never exists) →
+    per-pair common counts → join tiny per-doc counts for the union
+    size. Output: (doc_a, doc_b, jaccard rounded to 6)."""
+    counts = shingle_counts(shingles, id_col)
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def verify_jaccard(
+    candidates: DataFrame,
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact-Jaccard verification of a (doc_a, doc_b) candidate set —
+    cost proportional to candidates × shingles-per-doc, NOT to the
+    full pair space (this is why LSH blocking wins at scale).
+
+    common = |A∩B| via candidates ⋈ shingles_a ⋈ shingles_b on equal
+    shingle value; union from the per-doc counts."""
+    counts = shingle_counts(shingles, id_col)
+    sa = shingles.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("sh_a"))
+    sb = shingles.select(F.col(id_col).alias("_b_id"), F.col("shingle").alias("sh_b"))
+    common = (
+        candidates.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("_b_id")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str = "doc_id", n_hashes: int = 64, seed: int = 42
+) -> DataFrame:
+    """MinHash signature per doc: h_i(x) = (a_i·x + b_i) mod p over
+    xxhash64 shingle hashes, min-aggregated — one shuffle, map-side
+    combinable (min is algebraic)."""
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(n_hashes)]
+    h = F.pmod(F.xxhash64("shingle"), F.lit(_P))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding.
+
+    Signature split into ``n_bands`` bands of ``n_hashes/n_bands``
+    rows; docs sharing any band signature become a candidate pair.
+    Returns distinct (doc_a < doc_b) candidates — callers verify
+    with exact Jaccard (see queries.q_minhash_lsh_neardup).
+    """
+    rows = n_hashes // n_bands
+    sig = minhash_signatures(
+        shingle_df(docs, id_col, text_col, n), id_col, n_hashes, seed
+    )
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+                        ).alias("band_sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_sig")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash_expr(text_col: str = "text", bits: int = 64):
+    """64-bit SimHash as a pure column expression: per token t,
+    xxhash64(t) votes ±1 on each bit; the sign of each bit-sum forms
+    the fingerprint. Near-dups differ in few bits (Hamming).
+
+    Expressed with higher-order functions: aggregate over the token
+    array accumulating a 64-slot vote vector — no explode, no
+    shuffle, no UDF.
+    """
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("int"), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda i: F.when(
+                    F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    # fold sign bits into a single long
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup candidates: band the 64-bit fingerprint into
+    ``n_bands`` 16-bit chunks (pigeonhole: hamming ≤ n_bands-1 ⇒ some
+    band equal; wider radii trade recall), bucket-join, then filter
+    by exact Hamming distance ≤ ``max_hamming``."""
+    sh = docs.select(F.col(id_col), simhash_expr(text_col).alias("simhash"))
+    width = 64 // n_bands
+    bands = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,659 @@
+"""Query registry: every operator from SURVEY.md §2 as a
+(spark_callable, duckdb_oracle_sql) pair over the driver's parquet
+tables. The Spark side is idiomatic DataFrame API (Catalyst plans);
+the oracle side is ANSI SQL with IDENTICAL semantics, so the driver's
+side-by-side compare is a real correctness gate.
+
+Column aliases match exactly between both sides (driver hashes after
+sorting columns by name). Float results are rounded on BOTH sides to
+keep value-hashes stable across engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kahi_spark.functions.roles import role_case_sql
+from kahi_spark.operators.merge import (
+    latest_change_per_key,
+    normalize_events,
+    priority_merge,
+    reduce_events_to_state,
+)
+from kahi_spark.sources.events import derive_events_duckdb_sql, derive_transcript_events
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (oracle side) — semantics mirror the Spark exprs
+# ---------------------------------------------------------------------------
+
+# clean_text_expr parity: TeX strip, markup strip, ws collapse, trim.
+# Raw string: DuckDB string literals do no escape processing, so the
+# SQL must carry a doubled backslash for RE2 to see an escaped '\'.
+_CLEAN_SQL = (
+    r"trim(regexp_replace(regexp_replace(regexp_replace("
+    r"{col}, '\\[a-zA-Z]+', '', 'g'), '[$_^{{}}]', '', 'g'), '\s+', ' ', 'g'))"
+)
+
+def _norm_events_cte() -> str:
+    return (
+        "WITH ev AS ("
+        + derive_events_duckdb_sql("events")
+        + "),\nnorm AS (\n    SELECT seq, op, conv_id, turn_idx,\n           "
+        + role_case_sql("role")
+        + " AS role,\n           "
+        + _CLEAN_SQL.format(col="text")
+        + " AS text,\n           tool, ts, source\n    FROM ev\n)\n"
+    )
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(_t(sf_dir, name))
+
+
+# ---------------------------------------------------------------------------
+# CDC family (events table → transcript change log)
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_apply_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full change-log replay → final transcript state.
+    derive → normalize (S1/P4/F7/F11) → LWW reduce (A1/W4) →
+    live rows. One shuffle (the keyed window)."""
+    ev = derive_transcript_events(spark, sf_dir)
+    state = reduce_events_to_state(normalize_events(ev))
+    return state.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+ORACLE_CDC_APPLY_LWW = (
+    _norm_events_cte()
+    + """
+, latest AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) AS rn
+    FROM norm
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM latest WHERE rn = 1 AND op <> 'delete'
+"""
+)
+
+
+def q_cdc_latest_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 first-match-wins: the final change per key, incl deletes."""
+    ev = derive_transcript_events(spark, sf_dir)
+    return latest_change_per_key(ev).select("conv_id", "turn_idx", "op", "seq")
+
+
+ORACLE_CDC_LATEST_CHANGE = f"""
+WITH ev AS ({derive_events_duckdb_sql('events')}),
+latest AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) AS rn
+    FROM ev
+)
+SELECT conv_id, turn_idx, op, seq FROM latest WHERE rn = 1
+"""
+
+
+def q_cdc_stable_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 parity rule: per-turn text under stable turn ordering —
+    window over conv_id ordered by (turn_idx, ts)."""
+    state = q_cdc_apply_lww(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    return state.withColumn("turn_rank", F.row_number().over(w)).select(
+        "conv_id", "turn_rank", "turn_idx", "role", "text"
+    )
+
+
+ORACLE_CDC_STABLE_READBACK = (
+    _norm_events_cte()
+    + """
+, latest AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) AS rn
+    FROM norm
+),
+state AS (
+    SELECT conv_id, turn_idx, role, text, ts
+    FROM latest WHERE rn = 1 AND op <> 'delete'
+)
+SELECT conv_id,
+       row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS turn_rank,
+       turn_idx, role, text
+FROM state
+"""
+)
+
+
+def q_cdc_tombstoned_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/J11 anti-join: keys whose final change is a delete — i.e.
+    delete-touched keys anti-joined against the live state."""
+    ev = derive_transcript_events(spark, sf_dir)
+    deleted = ev.filter(F.col("op") == "delete").select("conv_id", "turn_idx").distinct()
+    live = q_cdc_apply_lww(spark, sf_dir).select("conv_id", "turn_idx")
+    return deleted.join(live, on=["conv_id", "turn_idx"], how="left_anti")
+
+
+ORACLE_CDC_TOMBSTONED_KEYS = f"""
+WITH ev AS ({derive_events_duckdb_sql('events')}),
+latest AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) AS rn
+    FROM ev
+),
+live AS (SELECT conv_id, turn_idx FROM latest WHERE rn = 1 AND op <> 'delete'),
+deleted AS (SELECT DISTINCT conv_id, turn_idx FROM ev WHERE op = 'delete')
+SELECT d.conv_id, d.turn_idx FROM deleted d
+WHERE NOT EXISTS (
+    SELECT 1 FROM live l
+    WHERE l.conv_id = d.conv_id AND l.turn_idx = d.turn_idx)
+"""
+
+
+def q_cdc_multisource_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A7 priority-coalesce merge: the same key arriving from
+    several feeds converges to one canonical record, each field from
+    the highest-priority source that has it (Kahi ``join_document``
+    re-expression, reference KahiParser.py:334-666)."""
+    ev = normalize_events(derive_transcript_events(spark, sf_dir))
+    merged = priority_merge(
+        ev, value_cols=["role", "text", "tool"], priority=("src0", "src1", "src2")
+    )
+    return merged.select("conv_id", "turn_idx", "role", "text", "tool")
+
+
+ORACLE_CDC_MULTISOURCE_MERGE = (
+    _norm_events_cte()
+    + """
+, per_source AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx, source ORDER BY ts DESC, seq DESC) AS rn
+    FROM norm
+),
+latest AS (SELECT * FROM per_source WHERE rn = 1)
+SELECT conv_id, turn_idx,
+    coalesce(max(CASE WHEN source='src0' THEN role END),
+             max(CASE WHEN source='src1' THEN role END),
+             max(CASE WHEN source='src2' THEN role END)) AS role,
+    coalesce(max(CASE WHEN source='src0' THEN text END),
+             max(CASE WHEN source='src1' THEN text END),
+             max(CASE WHEN source='src2' THEN text END)) AS text,
+    coalesce(max(CASE WHEN source='src0' THEN tool END),
+             max(CASE WHEN source='src1' THEN tool END),
+             max(CASE WHEN source='src2' THEN tool END)) AS tool
+FROM latest
+GROUP BY conv_id, turn_idx
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Relational family (TPC-H-ish; SURVEY.md §2.1-2.6 scans/joins/aggs/windows)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-series aggregation with predicate pushdown (S2) and
+    map-side partial aggregation; Kahi A8 count analogue."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                            AS sum_qty,
+       round(sum(l_extendedprice), 2)                       AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
+       count(*)                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join chain + agg + deterministic top-k (J1/A8/limit)."""
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TOP_REVENUE_ORDERS = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiway equi-join J1 shape: region→nation→customer→orders→
+    lineitem; dimensions broadcast."""
+    region = _read(spark, sf_dir, "region")
+    nation = _read(spark, sf_dir, "nation")
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+ORACLE_NATION_REVENUE = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name
+"""
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: point lookups become a broadcast-hash join of the key
+    list (reference find_one loops, KahiDb.py:313-330)."""
+    orders = _read(spark, sf_dir, "orders")
+    keys = spark.createDataFrame([(1,), (7,), (42,), (1000,)], ["o_orderkey"])
+    return orders.join(F.broadcast(keys), on="o_orderkey", how="inner").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+ORACLE_POINT_LOOKUP = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey IN (1, 7, 42, 1000)
+"""
+
+
+def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W3 window: latest-wins per partition."""
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+ORACLE_LATEST_ORDER_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_orderdate FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders
+) WHERE rn = 1
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 anti-join (the processed-set / resume filter shape)."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    return cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey", how="left_anti"
+    ).select("c_custkey", "c_name", "c_nationkey")
+
+
+ORACLE_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name, c_nationkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_union_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops (§2.6): union + distinct."""
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = _read(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.unionByName(supp).distinct()
+
+
+ORACLE_UNION_DISTINCT_NATIONS = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis family (documents table; training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring (length / uniqueness ratios),
+    all JVM-side expressions."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.length("text").alias("n_chars_computed"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n, 6).alias(
+            "uniq_token_ratio"
+        ),
+        F.round(F.length("text").cast("double") / n, 6).alias("avg_token_span"),
+    )
+
+
+ORACLE_TEXT_STATS = """
+SELECT doc_id,
+       len(string_split(text, ' '))                      AS n_tokens,
+       length(text)                                      AS n_chars_computed,
+       round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+             / len(string_split(text, ' ')), 6)          AS uniq_token_ratio,
+       round(length(text)::DOUBLE
+             / len(string_split(text, ' ')), 6)          AS avg_token_span
+FROM documents
+"""
+
+
+#: marker stopwords per language for the n-gram/stopword lang-id
+#: heuristic (F10 analogue — langid.classify, reference Lens.py:64).
+#: Deterministic rule: count marker hits per language, argmax wins,
+#: ties broken by language name order, 0 hits → 'und'.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "a"],
+    "es": ["el", "la", "los", "de"],
+    "fr": ["le", "les", "des", "une"],
+    "de": ["der", "die", "das", "und"],
+}
+
+
+def _lang_hits_expr(lang: str):
+    toks = F.split(F.col("text"), " ")
+    total = F.lit(0)
+    for m in _LANG_MARKERS[lang]:
+        total = total + F.size(F.filter(toks, lambda x: x == F.lit(m)))
+    return total
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-marker voting (deterministic,
+    SQL-expressible so the oracle is exact)."""
+    docs = _read(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        *[_lang_hits_expr(lg).alias(f"hits_{lg}") for lg in _LANG_MARKERS],
+    )
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in _LANG_MARKERS])
+    pred = F.when(best == 0, F.lit("und"))
+    for lg in sorted(_LANG_MARKERS):
+        pred = pred.when(F.col(f"hits_{lg}") == best, F.lit(lg))
+    return scored.select("doc_id", pred.alias("lang_pred"))
+
+
+def _lang_hits_sql(lang: str) -> str:
+    parts = [
+        f"len(list_filter(string_split(text, ' '), x -> x = '{m}'))"
+        for m in _LANG_MARKERS[lang]
+    ]
+    return " + ".join(parts)
+
+
+ORACLE_LANG_ID = f"""
+WITH scored AS (
+    SELECT doc_id,
+           {', '.join(f'{_lang_hits_sql(lg)} AS hits_{lg}' for lg in _LANG_MARKERS)}
+    FROM documents
+),
+best AS (
+    SELECT *, greatest({', '.join(f'hits_{lg}' for lg in _LANG_MARKERS)}) AS top
+    FROM scored
+)
+SELECT doc_id,
+       CASE WHEN top = 0 THEN 'und'
+            {' '.join(f"WHEN hits_{lg} = top THEN '{lg}'" for lg in sorted(_LANG_MARKERS))}
+       END AS lang_pred
+FROM best
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text (exact-dedup
+    blocking key; deterministic across engines)."""
+    from kahi_spark.functions.text import fingerprint_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_expr("text").alias("fp"))
+
+
+ORACLE_DOC_FINGERPRINT = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the min doc_id per fingerprint group
+    (hash-groupBy; one shuffle)."""
+    from kahi_spark.functions.text import fingerprint_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", fingerprint_expr("text"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+ORACLE_EXACT_DEDUP = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate / similarity family (documents + embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-3gram Jaccard ≥ 0.8 (J3 fuzzy-join
+    family): shingle equi-join as the blocking step — the cross
+    product never materializes, only shingle-sharing pairs do."""
+    from kahi_spark.operators.dedup import jaccard_pairs, shingle_df
+
+    docs = _read(spark, sf_dir, "documents")
+    return jaccard_pairs(shingle_df(docs), threshold=0.8)
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH s AS (
+    SELECT doc_id,
+           list_distinct([
+               string_split(text,' ')[i] || ' ' ||
+               string_split(text,' ')[i+1] || ' ' ||
+               string_split(text,' ')[i+2]
+               for i in range(1, len(string_split(text,' ')) - 1)
+           ]) AS sh
+    FROM documents
+),
+e AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS n FROM s),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS common, any_value(a.n) AS na, any_value(b.n) AS nb
+    FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(common::DOUBLE / (na + nb - common), 6) AS jaccard
+FROM pairs
+WHERE round(common::DOUBLE / (na + nb - common), 6) >= 0.8
+"""
+
+
+def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup: shingle → 64 minhashes →
+    16 bands × 4 rows → band-bucket join for candidates → exact
+    Jaccard verification ≥ 0.8.
+
+    The LSH join is the SCALE path (candidates only, never the cross
+    product); the exact verify makes the output identical to the
+    brute-force oracle whenever band recall is 1 at the threshold
+    (P(miss at j=0.8) = (1-0.8^4)^16 < 2e-4; planted dups here sit
+    at j≈0.98 where recall is ~1-1e-12)."""
+    from kahi_spark.operators.dedup import minhash_lsh_pairs, shingle_df, verify_jaccard
+
+    docs = _read(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, id_col="doc_id", n_hashes=64, n_bands=16)
+    # exact Jaccard verification restricted to the candidate set
+    return verify_jaccard(cand, shingle_df(docs), threshold=0.8)
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline: probes broadcast
+    against the corpus, dot product via zip_with/aggregate (JVM
+    higher-order functions, no UDF)."""
+    from kahi_spark.operators.similarity import knn_bruteforce
+
+    emb = _read(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return knn_bruteforce(probes, emb, k=5)
+
+
+ORACLE_KNN_COSINE = """
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+scored AS (
+    SELECT p.vec_id AS probe_id, x.vec_id AS neighbor_id,
+           round(list_inner_product(p.v, x.v) / (p.nrm * x.nrm), 6) AS score
+    FROM e p JOIN e x ON x.vec_id <> p.vec_id
+    WHERE p.vec_id < 5
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY score DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT probe_id, neighbor_id, rank, score FROM ranked WHERE rank <= 5
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over a bounded probe set."""
+    from kahi_spark.operators.similarity import cosine_pairs
+
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return cosine_pairs(emb, threshold=0.4)
+
+
+ORACLE_EMBEDDING_NEARDUP = """
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings WHERE vec_id < 100
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS score
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cdc_apply_lww": q_cdc_apply_lww,
+    "cdc_latest_change": q_cdc_latest_change,
+    "cdc_stable_readback": q_cdc_stable_readback,
+    "cdc_tombstoned_keys": q_cdc_tombstoned_keys,
+    "cdc_multisource_merge": q_cdc_multisource_merge,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "nation_revenue": q_nation_revenue,
+    "point_lookup": q_point_lookup,
+    "latest_order_per_customer": q_latest_order_per_customer,
+    "customers_without_orders": q_customers_without_orders,
+    "union_distinct_nations": q_union_distinct_nations,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
+    "minhash_lsh_neardup": q_minhash_lsh_neardup,
+    "knn_cosine": q_knn_cosine,
+    "embedding_neardup": q_embedding_neardup,
+}
+
+ORACLES: dict[str, str] = {
+    "cdc_apply_lww": ORACLE_CDC_APPLY_LWW,
+    "cdc_latest_change": ORACLE_CDC_LATEST_CHANGE,
+    "cdc_stable_readback": ORACLE_CDC_STABLE_READBACK,
+    "cdc_tombstoned_keys": ORACLE_CDC_TOMBSTONED_KEYS,
+    "cdc_multisource_merge": ORACLE_CDC_MULTISOURCE_MERGE,
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "top_revenue_orders": ORACLE_TOP_REVENUE_ORDERS,
+    "nation_revenue": ORACLE_NATION_REVENUE,
+    "point_lookup": ORACLE_POINT_LOOKUP,
+    "latest_order_per_customer": ORACLE_LATEST_ORDER_PER_CUSTOMER,
+    "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
+    "union_distinct_nations": ORACLE_UNION_DISTINCT_NATIONS,
+    "text_stats": ORACLE_TEXT_STATS,
+    "lang_id": ORACLE_LANG_ID,
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "exact_dedup": ORACLE_EXACT_DEDUP,
+    "ngram_jaccard_neardup": ORACLE_NGRAM_JACCARD,
+    "minhash_lsh_neardup": ORACLE_NGRAM_JACCARD,  # LSH output == brute force
+    "knn_cosine": ORACLE_KNN_COSINE,
+    "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
+}

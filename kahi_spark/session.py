@@ -30,6 +30,7 @@ def get_spark(
         n = master.split("[")[-1].rstrip("]") if "[" in master else cpus
         shuffle_partitions = int(n) if n.isdigit() else 32
 
+    mem = os.environ.get("KAHI_SPARK_DRIVER_MEM", "12g")
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -41,7 +42,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("KAHI_SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", mem)
+        # -Xms=-Xmx + AlwaysPreTouch: fault every heap page in at JVM
+        # start. Without it, first-touch page faults under 32 threads
+        # ran 85-97% SYSTEM time in this virtualized sandbox — 10×+
+        # run-to-run variance on CPU-bound stages. (On a real cluster
+        # the same flags are standard executor hygiene.)
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{mem} -XX:+AlwaysPreTouch -XX:+UseParallelGC",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
