@@ -1,0 +1,127 @@
+"""Blocked fuzzy joins (SURVEY.md J3-J7 — the reference's similarity
+machinery: ``colav_similarity`` KahiDb.py:23-102, candidate loops
+KahiDb.py:385-450, author complement KahiParser.py:668-738).
+
+The reference scores one record against an in-memory candidate list
+with thread/process fanout — O(N·M) and single-node. The Spark
+re-expression:
+
+1. **Blocking** — an equi-join on cheap block keys (year, language,
+   soundex of the first token, …) so the cross product never
+   materializes. This is the plan-shape optimization Catalyst can't
+   invent (SURVEY.md §4 "custom work").
+2. **Scoring** — either the JVM-side character-bigram Jaccard
+   (``bigram_jaccard_expr``, pure higher-order functions, exactly
+   reproducible in SQL oracles), or an Arrow-batched pandas UDF
+   (``token_set_ratio_pandas``) when Python-only scoring is needed.
+3. **Pick-first** — W1 first-match-wins: ``row_number() over
+   (partition by probe order by score desc, candidate id)`` = 1,
+   replacing the reference's ``results.index(True)``
+   (KahiDb.py:389-390).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def char_bigrams_expr(col: Column | str) -> Column:
+    """Distinct character bigrams of the lowercased string (JVM)."""
+    s = F.lower(F.col(col) if isinstance(col, str) else col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - 1, F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: s.substr(i, F.lit(2))))
+
+
+def bigram_jaccard_expr(a: Column, b: Column) -> Column:
+    """Jaccard over distinct char bigrams — integer set sizes and one
+    double division, so bit-identical across engines (used by the
+    DuckDB oracles). Rounded to 6."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.round(inter.cast("double") / union, 6)
+
+
+@pandas_udf(T.DoubleType())
+def token_set_ratio_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched token-set similarity (difflib-based stand-in for
+    the reference's fuzz.token_set_ratio, KahiDb.py:49-78): ratio of
+    the sorted-distinct-token renderings, in [0, 1]."""
+    from difflib import SequenceMatcher
+
+    def norm(s):
+        return " ".join(sorted(set(str(s).lower().split())))
+
+    def score(x, y):
+        if x is None or y is None:
+            return None
+        return SequenceMatcher(None, norm(x), norm(y)).ratio()
+
+    return pd.Series([score(x, y) for x, y in zip(a, b)], dtype="float64")
+
+
+def fuzzy_join(
+    probes: DataFrame,
+    candidates: DataFrame,
+    block_cols: list[str],
+    probe_id: str,
+    cand_id: str,
+    score: Column,
+    threshold: float,
+    pick_first: bool = True,
+) -> DataFrame:
+    """Blocked fuzzy join. ``probes``/``candidates`` columns must be
+    pre-aliased disjointly apart from ``block_cols``; ``score`` is a
+    Column over the joined row (e.g. ``bigram_jaccard_expr(...)`` or
+    ``token_set_ratio_pandas(col_a, col_b)``).
+
+    Returns matches ≥ threshold; with ``pick_first``, exactly the
+    best candidate per probe (ties → lowest candidate id) — the
+    reference's first-match-wins."""
+    joined = probes.join(candidates, on=block_cols, how="inner").filter(
+        F.col(probe_id) != F.col(cand_id)
+    )
+    scored = joined.withColumn("score", score).filter(F.col("score") >= threshold)
+    if not pick_first:
+        return scored
+    w = Window.partitionBy(probe_id).orderBy(F.desc("score"), F.asc(cand_id))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def complement_merge(
+    merged: DataFrame,
+    fill_from: DataFrame,
+    key: list[str],
+    fill_cols: list[str],
+    union_cols: list[str] | None = None,
+) -> DataFrame:
+    """J5 'find_complement' analogue (KahiParser.py:668-738): after a
+    fuzzy match, fill empty fields from the matched record
+    (``coalesce``) and set-union list fields
+    (``array_distinct(array_union(...))``)."""
+    right = fill_from.select(
+        *key,
+        *[F.col(c).alias(f"_fill_{c}") for c in fill_cols],
+        *[F.col(c).alias(f"_union_{c}") for c in (union_cols or [])],
+    )
+    out = merged.join(right, on=key, how="left")
+    for c in fill_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"_fill_{c}"))).drop(f"_fill_{c}")
+    for c in union_cols or []:
+        out = out.withColumn(
+            c,
+            F.array_distinct(
+                F.array_union(
+                    F.coalesce(F.col(c), F.array()),
+                    F.coalesce(F.col(f"_union_{c}"), F.array()),
+                )
+            ),
+        ).drop(f"_union_{c}")
+    return out

@@ -175,11 +175,28 @@ def _newer_than(new_ts: Column, new_seq: Column, old_ts: Column, old_seq: Column
     return (nts > ots) | ((nts == ots) & (new_seq > old_seq))
 
 
+#: Field-level merge policies (A9 — the reference's "mod" patch
+#: computation, KahiDb.py:571-622 (authors), :650-732 (institutions),
+#: :760-860 (sources)):
+#:   lww        — newer (ts, seq) wins wholesale (default; $set)
+#:   fill_empty — target keeps its value, change fills NULLs only
+#:                (Kahi: "if reg[k] and not stored[k]")
+#:   union      — array set-union, order-normalized
+#:                (Kahi: aliases/keywords/ids/serials dedup append)
+#:   greatest   — max of both (Kahi: max source_checked date,
+#:                KahiDb.py:850-858)
+#: fill_empty/union/greatest are COMMUTATIVE — replay order can't
+#: change the result, which is what makes retried epochs safe even
+#: for these non-LWW columns.
+MERGE_POLICIES = ("lww", "fill_empty", "union", "greatest")
+
+
 def merge_changes_into_state(
     state: DataFrame,
     changes: DataFrame,
     key_cols: list[str] | None = None,
     value_cols: list[str] | None = None,
+    policies: dict[str, str] | None = None,
 ) -> DataFrame:
     """Versioned MERGE INTO semantics over plain DataFrames.
 
@@ -215,13 +232,39 @@ def merge_changes_into_state(
     wins = has_change & (
         is_new_row | _newer_than(new_ts, F.col("_new_seq"), F.col("ts"), F.col(SYS_SEQ))
     )
+    pol = policies or {}
     out_cols: list[Column] = [F.col(k) for k in keys]
     for c in vals:
         new_c = f"_new_{c}"
-        if new_c in joined.columns:
-            out_cols.append(F.when(wins, F.col(new_c)).otherwise(F.col(c)).alias(c))
-        else:
+        if new_c not in joined.columns:
             out_cols.append(F.col(c))
+            continue
+        p = pol.get(c, "lww")
+        if p == "lww":
+            merged = F.when(wins, F.col(new_c)).otherwise(F.col(c))
+        elif p == "fill_empty":
+            merged = F.when(has_change, F.coalesce(F.col(c), F.col(new_c))).otherwise(
+                F.col(c)
+            )
+        elif p == "union":
+            merged = F.when(
+                has_change,
+                F.array_sort(
+                    F.array_distinct(
+                        F.array_union(
+                            F.coalesce(F.col(c), F.array()),
+                            F.coalesce(F.col(new_c), F.array()),
+                        )
+                    )
+                ),
+            ).otherwise(F.col(c))
+        elif p == "greatest":
+            merged = F.when(has_change, F.greatest(F.col(c), F.col(new_c))).otherwise(
+                F.col(c)
+            )
+        else:
+            raise ValueError(f"unknown merge policy {p!r} for column {c!r}")
+        out_cols.append(merged.alias(c))
     out_cols.append(
         F.when(wins, F.col("_new_seq")).otherwise(F.col(SYS_SEQ)).alias(SYS_SEQ)
     )

@@ -608,6 +608,169 @@ WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
 """
 
 
+def q_fuzzy_title_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 blocked fuzzy join: probes vs candidates blocked on
+    (lang, source), scored by char-bigram Jaccard of the first 60
+    chars (JVM higher-order functions), W1 pick-first per probe."""
+    from kahi_spark.operators.fuzzy import (
+        bigram_jaccard_expr,
+        char_bigrams_expr,
+        fuzzy_join,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    head = char_bigrams_expr(F.substring("text", 1, 60))
+    probes = docs.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("probe_id"), "lang", "source", head.alias("bg_p")
+    )
+    cands = docs.filter(F.col("doc_id") >= 50).select(
+        F.col("doc_id").alias("cand_id"), "lang", "source", head.alias("bg_c")
+    )
+    return fuzzy_join(
+        probes,
+        cands,
+        ["lang", "source"],
+        "probe_id",
+        "cand_id",
+        bigram_jaccard_expr(F.col("bg_p"), F.col("bg_c")),
+        threshold=0.45,
+    ).select("probe_id", "cand_id", "score")
+
+
+ORACLE_FUZZY_TITLE_MATCH = """
+WITH bg AS (
+    SELECT doc_id, lang, source,
+           list_distinct([
+               substr(lower(substr(text, 1, 60)), i, 2)
+               for i in range(1, greatest(length(substr(text, 1, 60)) - 1, 1) + 1)
+           ]) AS grams
+    FROM documents
+),
+scored AS (
+    SELECT p.doc_id AS probe_id, c.doc_id AS cand_id,
+           round(len(list_intersect(p.grams, c.grams))::DOUBLE
+                 / (len(p.grams) + len(c.grams)
+                    - len(list_intersect(p.grams, c.grams))), 6) AS score
+    FROM bg p
+    JOIN bg c ON p.lang = c.lang AND p.source = c.source
+    WHERE p.doc_id < 50 AND c.doc_id >= 50
+),
+best AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY score DESC, cand_id ASC) AS rn
+    FROM scored WHERE score >= 0.45
+)
+SELECT probe_id, cand_id, score FROM best WHERE rn = 1
+"""
+
+
+def q_ids_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15/F16 scalar family: composite-id split + name decomposition
+    on the customer dimension."""
+    cust = _read(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.element_at(F.split(F.col("c_name"), "#"), 2).cast("int").alias("name_id"),
+        F.upper(F.substring("c_mktsegment", 1, 1)).alias("segment_initial"),
+        F.initcap(F.lower("c_mktsegment")).alias("segment_cap"),
+    )
+
+
+ORACLE_IDS_EXTRACT = """
+SELECT c_custkey,
+       CAST(string_split(c_name, '#')[2] AS INT) AS name_id,
+       upper(substr(c_mktsegment, 1, 1))         AS segment_initial,
+       -- initcap equivalent for single-word segments
+       upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2)) AS segment_cap
+FROM customer
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (streaming §2.8 analogue) as gaps-and-islands:
+    a new session starts after >30 min of user inactivity. Two
+    windows, both partitioned on user_id — one shuffle reused across
+    both (Catalyst reuses the hash partitioning)."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts"))
+    gap = epoch - F.lag(epoch).over(w)
+    with_start = ev.withColumn(
+        "is_start", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = with_start.withColumn("session_id", F.sum("is_start").over(w2))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+ORACLE_SESSIONIZE_EVENTS = """
+WITH g AS (
+    SELECT *,
+           CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                  OR lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_start
+    FROM events
+),
+s AS (
+    SELECT *, sum(is_start) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       round(sum(value), 4) AS session_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (the batch shape of
+    ``groupBy(window("ts", "1 hour"))`` — event-time windowed agg)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+ORACLE_TUMBLING_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets / CUBE (SURVEY.md §2.4 note: one-liner in the
+    engine even though absent in the reference)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+ORACLE_CUBE_REVENUE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -633,6 +796,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_neardup": q_minhash_lsh_neardup,
     "knn_cosine": q_knn_cosine,
     "embedding_neardup": q_embedding_neardup,
+    "fuzzy_title_match": q_fuzzy_title_match,
+    "ids_extract": q_ids_extract,
+    "sessionize_events": q_sessionize_events,
+    "tumbling_hourly": q_tumbling_hourly,
+    "cube_revenue": q_cube_revenue,
 }
 
 ORACLES: dict[str, str] = {
@@ -656,4 +824,9 @@ ORACLES: dict[str, str] = {
     "minhash_lsh_neardup": ORACLE_NGRAM_JACCARD,  # LSH output == brute force
     "knn_cosine": ORACLE_KNN_COSINE,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
+    "fuzzy_title_match": ORACLE_FUZZY_TITLE_MATCH,
+    "ids_extract": ORACLE_IDS_EXTRACT,
+    "sessionize_events": ORACLE_SESSIONIZE_EVENTS,
+    "tumbling_hourly": ORACLE_TUMBLING_HOURLY,
+    "cube_revenue": ORACLE_CUBE_REVENUE,
 }

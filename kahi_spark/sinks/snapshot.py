@@ -68,11 +68,29 @@ class SnapshotTable:
         path: str,
         key_cols: list[str] | None = None,
         n_buckets: int = 16,
+        mode: str = "cow",
+        compact_every: int = 8,
     ) -> None:
+        """``mode``:
+
+        * ``"cow"`` — copy-on-write: every MERGE rewrites a full new
+          snapshot (Iceberg COW). Read-optimized; write cost O(table)
+          per epoch.
+        * ``"mor"`` — merge-on-read: each epoch appends a reduced
+          delta file; readers resolve key versions with the same LWW
+          reduction at scan time; every ``compact_every`` epochs the
+          deltas fold into a new base snapshot (Iceberg MOR +
+          compaction — the north_rule's "storage-partitioned
+          merge-on-read compaction"). Write cost O(batch) per epoch —
+          the only viable shape at 10^10 events.
+        """
+        assert mode in ("cow", "mor")
         self.spark = spark
         self.path = path
         self.key_cols = key_cols or KEY_COLS
         self.n_buckets = n_buckets
+        self.mode = mode
+        self.compact_every = compact_every
         os.makedirs(path, exist_ok=True)
 
     # --- manifest ---------------------------------------------------------
@@ -82,9 +100,17 @@ class SnapshotTable:
     def _read_manifest(self) -> dict:
         p = self._manifest_path()
         if not os.path.exists(p):
-            return {"version": 0, "snapshot": None, "epochs": {}, "commits": []}
+            return {
+                "version": 0,
+                "snapshot": None,
+                "deltas": [],
+                "epochs": {},
+                "commits": [],
+            }
         with open(p) as f:
-            return json.load(f)
+            m = json.load(f)
+        m.setdefault("deltas", [])
+        return m
 
     def _commit_manifest(self, manifest: dict) -> None:
         """Atomic pointer swap (os.replace is atomic on POSIX)."""
@@ -98,16 +124,46 @@ class SnapshotTable:
         return self._read_manifest()["snapshot"] is not None
 
     def read(self) -> DataFrame:
-        """Current snapshot, live rows, user columns only."""
+        """Current table state, live rows, user columns only."""
         df = self.read_internal()
         return df.filter(~F.col(SYS_DELETED)).drop(SYS_SEQ, SYS_DELETED)
 
     def read_internal(self) -> DataFrame:
-        """Current snapshot including tombstones + system columns."""
+        """Current state including tombstones + system columns.
+
+        COW: one parquet scan. MOR: base ∪ delta files, then the LWW
+        resolve (one window shuffle) — the read-side half of
+        merge-on-read; compaction bounds the number of deltas."""
         m = self._read_manifest()
-        if m["snapshot"] is None:
+        if m["snapshot"] is None and not m["deltas"]:
             raise FileNotFoundError(f"table {self.path} has no committed snapshot")
-        return self.spark.read.parquet(os.path.join(self.path, m["snapshot"]))
+        parts = []
+        if m["snapshot"] is not None:
+            parts.append(self.spark.read.parquet(os.path.join(self.path, m["snapshot"])))
+        for d in m["deltas"]:
+            parts.append(self.spark.read.parquet(os.path.join(self.path, d)))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        if len(parts) > 1:
+            df = self._resolve(df)
+        return df
+
+    def _resolve(self, df: DataFrame) -> DataFrame:
+        """Pick the winning version per key across base+deltas:
+        (ts, _seq) lexicographic, NULL ts lowest."""
+        from pyspark.sql import Window
+
+        order = [
+            F.coalesce(F.col("ts"), F.to_timestamp(F.lit("1970-01-01"))).desc(),
+            F.col(SYS_SEQ).desc(),
+        ]
+        w = Window.partitionBy(*self.key_cols).orderBy(*order)
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
 
     def committed_epochs(self) -> set[int]:
         return {int(e) for e in self._read_manifest()["epochs"]}
@@ -173,17 +229,28 @@ class SnapshotTable:
         changes: DataFrame,
         epoch_id: int,
         value_cols: list[str] | None = None,
+        policies: dict[str, str] | None = None,
     ) -> bool:
         """MERGE a change batch (with ``op`` column) into the table.
 
         Idempotent: a replayed epoch_id is a committed no-op.
         Returns True if the epoch was applied, False if skipped.
+
+        ``policies``: per-column merge policy (A9 mod-patch semantics,
+        see ``operators.merge.MERGE_POLICIES``). COW mode only — the
+        MOR read-side resolve is LWW; non-LWW policies need the
+        eager merge.
         """
+        if policies and self.mode == "mor":
+            raise ValueError("per-column merge policies require mode='cow'")
         m = self._read_manifest()
         if str(epoch_id) in m["epochs"]:
             return False  # exactly-once: epoch already committed
 
         reduced = latest_change_per_key(changes, key_cols=self.key_cols)
+
+        if self.mode == "mor":
+            return self._merge_mor(m, changes, reduced, epoch_id)
 
         if m["snapshot"] is None:
             state = state_from_reduced(reduced, key_cols=self.key_cols)
@@ -208,7 +275,7 @@ class SnapshotTable:
             c for c in state.columns if c not in self.key_cols + [SYS_SEQ, SYS_DELETED]
         ]
         new_state = merge_changes_into_state(
-            state, reduced, key_cols=self.key_cols, value_cols=vals
+            state, reduced, key_cols=self.key_cols, value_cols=vals, policies=policies
         )
         wm = changes.agg(F.max("ts")).collect()[0][0]
         self._commit(
@@ -219,3 +286,65 @@ class SnapshotTable:
             added_columns=[f.name for f in added],
         )
         return True
+
+    # --- merge-on-read path -------------------------------------------------
+    def _merge_mor(self, m: dict, changes: DataFrame, reduced: DataFrame, epoch_id: int) -> bool:
+        """Append the reduced batch as a delta file (cost O(batch));
+        fold deltas into a new base every ``compact_every`` epochs."""
+        t0 = time.time()
+        delta_state = state_from_reduced(reduced, key_cols=self.key_cols)
+        version = m["version"] + 1
+        delta_dir = f"d{version:08d}"
+        (
+            delta_state.repartition(
+                max(1, self.n_buckets // 4), *[F.col(k) for k in self.key_cols]
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.path, delta_dir))
+        )
+        wm = changes.agg(F.max("ts")).collect()[0][0]
+        m["version"] = version
+        m["deltas"].append(delta_dir)
+        m["epochs"][str(epoch_id)] = version
+        m["commits"].append(
+            {
+                "version": version,
+                "epoch_id": epoch_id,
+                "op": "merge-delta",
+                "wall_s": round(time.time() - t0, 3),
+                "watermark": str(wm),
+            }
+        )
+        self._commit_manifest(m)
+        if len(m["deltas"]) >= self.compact_every:
+            self.compact()
+        return True
+
+    def compact(self) -> None:
+        """Fold base + deltas into a fresh base snapshot (Iceberg
+        rewrite_data_files analogue). Readers keep snapshot isolation:
+        the manifest swap is atomic, old dirs are GC'd afterwards."""
+        m = self._read_manifest()
+        if not m["deltas"]:
+            return
+        t0 = time.time()
+        resolved = self.read_internal()
+        version = m["version"] + 1
+        snap = self._write_snapshot(resolved, version)
+        old = list(m["deltas"])
+        m["version"] = version
+        m["snapshot"] = snap
+        m["deltas"] = []
+        m["commits"].append(
+            {
+                "version": version,
+                "epoch_id": None,
+                "op": "compact",
+                "wall_s": round(time.time() - t0, 3),
+                "folded": len(old),
+            }
+        )
+        self._commit_manifest(m)
+        for d in old:
+            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        self._gc(keep=2)

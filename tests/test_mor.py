@@ -1,0 +1,79 @@
+"""Merge-on-read mode: parity with copy-on-write, compaction,
+exactly-once, out-of-order safety (SURVEY.md §4.2 scale features)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kahi_spark.gen import make_events
+from kahi_spark.schema import EVENT_SCHEMA
+from kahi_spark.sinks.snapshot import SnapshotTable
+
+
+def ts(i):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)
+
+
+def ev(seq, op, conv, turn, text, t):
+    return (seq, op, conv, turn, "user", text, None, ts(t), "lens")
+
+
+def sorted_state(t):
+    return [
+        (r.conv_id, r.turn_idx, r.text)
+        for r in t.read().orderBy("conv_id", "turn_idx").collect()
+    ]
+
+
+def test_mor_matches_cow_over_many_epochs(spark, tmp_path):
+    pdf = make_events(3000, n_convs=20, seed=21)
+    df = spark.createDataFrame(pdf)
+    cow = SnapshotTable(spark, str(tmp_path / "cow"), n_buckets=4, mode="cow")
+    mor = SnapshotTable(spark, str(tmp_path / "mor"), n_buckets=4, mode="mor", compact_every=3)
+    per = 500
+    for e in range(6):
+        batch = df.filter((F.col("seq") >= e * per) & (F.col("seq") < (e + 1) * per))
+        cow.merge(batch, epoch_id=e)
+        mor.merge(batch, epoch_id=e)
+    assert sorted_state(cow) == sorted_state(mor)
+    # compaction actually happened (6 epochs / compact_every=3 → ≥2 compacts)
+    ops = [c["op"] for c in mor.history()]
+    assert ops.count("compact") >= 2
+
+
+def test_mor_exactly_once_and_out_of_order(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=2, mode="mor", compact_every=100)
+    b1 = spark.createDataFrame([ev(0, "insert", "c1", 0, "new", 100)], EVENT_SCHEMA)
+    assert t.merge(b1, epoch_id=0) is True
+    assert t.merge(b1, epoch_id=0) is False  # ledger no-op
+    # later epoch, OLDER event: must lose against delta from epoch 0
+    b2 = spark.createDataFrame([ev(1, "update", "c1", 0, "stale", 5)], EVENT_SCHEMA)
+    t.merge(b2, epoch_id=1)
+    assert sorted_state(t) == [("c1", 0, "new")]
+    # delete tombstone wins over older zombie insert delivered later
+    b3 = spark.createDataFrame([ev(2, "delete", "c1", 0, None, 200)], EVENT_SCHEMA)
+    t.merge(b3, epoch_id=2)
+    b4 = spark.createDataFrame([ev(3, "insert", "c1", 0, "zombie", 150)], EVENT_SCHEMA)
+    t.merge(b4, epoch_id=3)
+    assert sorted_state(t) == []
+    # compaction preserves the tombstone semantics
+    t.compact()
+    assert sorted_state(t) == []
+
+
+def test_mor_schema_evolution_via_union(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t2"), n_buckets=2, mode="mor", compact_every=100)
+    t.merge(spark.createDataFrame([ev(0, "insert", "c1", 0, "a", 1)], EVENT_SCHEMA), epoch_id=0)
+    evolved = spark.createDataFrame([ev(1, "insert", "c2", 0, "b", 2)], EVENT_SCHEMA).withColumn(
+        "meta", F.lit("m")
+    )
+    t.merge(evolved, epoch_id=1)
+    out = t.read()
+    assert "meta" in out.columns
+    got = {r.conv_id: r.meta for r in out.collect()}
+    assert got == {"c1": None, "c2": "m"}
+    t.compact()
+    got2 = {r.conv_id: r.meta for r in t.read().collect()}
+    assert got2 == got

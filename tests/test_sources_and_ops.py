@@ -1,0 +1,142 @@
+"""Raw-feed normalizers (P4/P5), CSV work-list (S5/S9), scalar
+functions (F-series), multimodal plumbing, applyInPandas custom op."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from kahi_spark.functions.scalars import (
+    capitalize_expr,
+    country_alpha2_expr,
+    id_from_composite_expr,
+    issn_format_expr,
+    name_parts_expr,
+    safe_int_expr,
+)
+
+
+def test_rawfeed_normalizers_dispatch(spark):
+    from kahi_spark.sources.rawfeeds import normalize_feeds
+
+    rows = [
+        (0, "lens", json.dumps({
+            "conversation": {"id": "c1", "turn": 0},
+            "speaker": {"role": "USER"},
+            "body": "hello from lens",
+            "tool": {"name": "search"},
+            "sent_at": "2024-01-01T00:00:05",
+            "operation": "insert",
+        })),
+        (1, "wos", json.dumps({
+            "CI": "WOS:c1", "TI": 1, "RO": "Assistant", "TX": "wos reply",
+            "TL": None, "TS": 1704067206, "OP": "I",
+        })),
+        (2, "scopus", json.dumps({
+            "Conv Id": "c2", "Turn": "3a", "Role": "ai", "Text": "scopus text",
+            "Tool": "sql", "Timestamp": "2024-01-01T00:00:07", "Op": "UPDATE",
+        })),
+        (3, "wos", json.dumps({
+            "CI": "WOS:c1", "TI": 1, "RO": "x", "TX": None,
+            "TL": None, "TS": 1704067299, "OP": "D",
+        })),
+    ]
+    feed = spark.createDataFrame(rows, ["seq", "source", "payload"])
+    out = normalize_feeds(feed).orderBy("seq").collect()
+    assert [(r.op, r.conv_id, r.turn_idx, r.source) for r in out] == [
+        ("insert", "c1", 0, "lens"),
+        ("insert", "c1", 1, "wos"),
+        ("update", "c2", 3, "scopus"),  # "3a" safe-cast → 3
+        ("delete", "c1", 1, "wos"),
+    ]
+    assert out[0].tool == "search"
+    assert out[1].ts.second == 6
+
+
+def test_csv_worklist(spark, tmp_path):
+    from kahi_spark.sources.csvlist import pending_worklist, read_worklist_csv
+
+    p = tmp_path / "list.csv"
+    p.write_text("doi,junk\n10.1/A,x\n10.1/b,y\n , z\n10.1/a,w\n")
+    wl = read_worklist_csv(spark, str(p), "doi", alias="doi")
+    got = sorted(r.doi for r in wl.collect())
+    assert got == ["10.1/a", "10.1/b"]  # lowercased, deduped, blanks dropped
+    done = spark.createDataFrame([("10.1/a",)], ["doi"])
+    rest = pending_worklist(wl, done, "doi").collect()
+    assert [r.doi for r in rest] == ["10.1/b"]
+
+
+def test_scalar_functions(spark):
+    df = spark.createDataFrame(
+        [("2019a", "United States", "14769028", "WOS:000123", "ada lovelace byron")],
+        ["year", "country", "issn", "uid", "name"],
+    )
+    parts = name_parts_expr("name")
+    row = df.select(
+        safe_int_expr("year").alias("year"),
+        country_alpha2_expr("country").alias("cc"),
+        issn_format_expr("issn").alias("issn"),
+        id_from_composite_expr("uid").alias("id"),
+        capitalize_expr("name").alias("cap"),
+        parts["first_name"].alias("fn"),
+        parts["last_name"].alias("ln"),
+        parts["initials"].alias("ini"),
+    ).collect()[0]
+    assert row.year == 2019
+    assert row.cc == "US"
+    assert row.issn == "1476-9028"
+    assert row.id == "000123"
+    assert row.cap == "Ada Lovelace Byron"
+    assert (row.fn, row.ln, row.ini) == ("ada", "byron", "ALB")
+
+
+def test_multimodal_decode_plumbing(spark):
+    import pytest
+
+    from kahi_spark.operators.multimodal import (
+        decode_image_batch,
+        frame_sample_plan,
+        make_fake_assets,
+    )
+
+    assets = make_fake_assets(spark, n=30)
+    feats = decode_image_batch(assets)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(r.n_bytes and r.width and r.height and r.checksum is not None for r in rows)
+    # deterministic across runs
+    again = {r.asset_id: (r.width, r.height, r.checksum) for r in decode_image_batch(assets).collect()}
+    assert again == {r.asset_id: (r.width, r.height, r.checksum) for r in rows}
+    # the real-codec path is an explicit stub
+    with pytest.raises(NotImplementedError):
+        decode_image_batch(assets, real_codec=True)
+    # frame sampling explodes 1→N only for videos
+    fs = frame_sample_plan(assets, every_n=3)
+    assert fs.count() > 0
+    assert fs.join(assets.filter("kind != 'video'"), "asset_id", "inner").count() == 0
+
+
+def test_conversation_stats_applyinpandas(spark):
+    import datetime as dt
+
+    from kahi_spark.operators.custom import conversation_stats
+    from kahi_spark.schema import TRANSCRIPT_SCHEMA
+
+    def t(i):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)
+
+    rows = [
+        ("c1", 0, "user", "a", None, t(0)),
+        ("c1", 1, "assistant", "b", "search", t(10)),
+        ("c1", 2, "user", "c", None, t(40)),
+        ("c2", 0, "user", "x", None, t(0)),
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    got = {r.conv_id: r for r in conversation_stats(df).collect()}
+    assert got["c1"].n_turns == 3
+    assert got["c1"].n_roles == 2
+    assert got["c1"].n_tool_calls == 1
+    assert got["c1"].mean_gap_s == 20.0
+    assert got["c1"].max_gap_s == 30.0
+    assert got["c2"].mean_gap_s is None
