@@ -230,6 +230,8 @@ class SnapshotTable:
         epoch_id: int,
         value_cols: list[str] | None = None,
         policies: dict[str, str] | None = None,
+        salt_buckets: int = 0,
+        extra_metrics: dict | None = None,
     ) -> bool:
         """MERGE a change batch (with ``op`` column) into the table.
 
@@ -247,15 +249,18 @@ class SnapshotTable:
         if str(epoch_id) in m["epochs"]:
             return False  # exactly-once: epoch already committed
 
-        reduced = latest_change_per_key(changes, key_cols=self.key_cols)
+        reduced = latest_change_per_key(
+            changes, key_cols=self.key_cols, salt_buckets=salt_buckets
+        )
+        extra = extra_metrics or {}
 
         if self.mode == "mor":
-            return self._merge_mor(m, changes, reduced, epoch_id)
+            return self._merge_mor(m, changes, reduced, epoch_id, extra)
 
         if m["snapshot"] is None:
             state = state_from_reduced(reduced, key_cols=self.key_cols)
             wm = changes.agg(F.max("ts")).collect()[0][0]
-            self._commit(state, epoch_id=epoch_id, op="merge", watermark=str(wm))
+            self._commit(state, epoch_id=epoch_id, op="merge", watermark=str(wm), **extra)
             return True
 
         state = self.read_internal()
@@ -284,11 +289,19 @@ class SnapshotTable:
             op="merge",
             watermark=str(wm),
             added_columns=[f.name for f in added],
+            **extra,
         )
         return True
 
     # --- merge-on-read path -------------------------------------------------
-    def _merge_mor(self, m: dict, changes: DataFrame, reduced: DataFrame, epoch_id: int) -> bool:
+    def _merge_mor(
+        self,
+        m: dict,
+        changes: DataFrame,
+        reduced: DataFrame,
+        epoch_id: int,
+        extra: dict | None = None,
+    ) -> bool:
         """Append the reduced batch as a delta file (cost O(batch));
         fold deltas into a new base every ``compact_every`` epochs."""
         t0 = time.time()
@@ -313,6 +326,7 @@ class SnapshotTable:
                 "op": "merge-delta",
                 "wall_s": round(time.time() - t0, 3),
                 "watermark": str(wm),
+                **(extra or {}),
             }
         )
         self._commit_manifest(m)

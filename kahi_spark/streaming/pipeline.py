@@ -45,7 +45,12 @@ class CdcPipeline:
         schema=None,
         use_pandas_cleaner: bool = False,
         max_files_per_trigger: int = 1,
+        salt_buckets: int = 0,
     ) -> None:
+        """``salt_buckets``: >0 enables the two-phase salted LWW
+        reduction for hot conv_ids (north_rule skew handling — a
+        conversation holding ~10% of 10^10 events would otherwise pin
+        one reducer task)."""
         self.spark = spark
         self.event_dir = event_dir
         self.table = table
@@ -53,6 +58,7 @@ class CdcPipeline:
         self.schema = schema
         self.use_pandas_cleaner = use_pandas_cleaner
         self.max_files_per_trigger = max_files_per_trigger
+        self.salt_buckets = salt_buckets
         self.metrics: list[dict] = []
 
     def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
@@ -61,8 +67,15 @@ class CdcPipeline:
         if n == 0:
             return
         normalized = normalize_events(batch, use_pandas_cleaner=self.use_pandas_cleaner)
-        applied = self.table.merge(normalized, epoch_id=epoch_id)
+        applied = self.table.merge(
+            normalized,
+            epoch_id=epoch_id,
+            salt_buckets=self.salt_buckets,
+            extra_metrics={"events": n},
+        )
         wall = time.time() - t0
+        # in-memory mirror of the durable per-commit metrics the sink
+        # manifest records (events, watermark, wall) — SURVEY.md §4.5
         self.metrics.append(
             {
                 "epoch_id": epoch_id,

@@ -1,0 +1,105 @@
+"""Entity-linking staged lookup (J8-J10) + physical-plan audits:
+pushdown, pruning, broadcast joins, no cartesian products."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_staged_lookup_id_then_alias(spark):
+    from kahi_spark.operators.linking import explode_keys, staged_lookup
+
+    # probes: authors with external ids and alias names
+    probes = spark.createDataFrame(
+        [
+            (1, ["orcid:111", "rid:A"], ["j smith"]),
+            (2, [], ["m jones"]),          # only resolvable via alias
+            (3, ["orcid:999"], ["nobody"]),  # unresolvable
+            (4, ["rid:B", "orcid:222"], []),  # two ids → first hit by dim_id
+        ],
+        ["author_id", "ext_ids", "aliases"],
+    )
+    dim = spark.createDataFrame(
+        [
+            (100, ["orcid:111"], ["john smith", "j smith"]),
+            (101, ["orcid:222", "rid:B"], ["m jones"]),
+        ],
+        ["dim_id", "ext_ids", "aliases"],
+    )
+    stage_ids = (
+        explode_keys(probes, "author_id", "ext_ids"),
+        explode_keys(dim, "dim_id", "ext_ids").select(
+            "key", F.col("probe_id").alias("dim_id")
+        ),
+    )
+    stage_alias = (
+        explode_keys(probes, "author_id", "aliases"),
+        explode_keys(dim, "dim_id", "aliases").select(
+            "key", F.col("probe_id").alias("dim_id")
+        ),
+    )
+    out = staged_lookup([stage_ids, stage_alias], probe_id="probe_id", dim_id="dim_id")
+    got = {r.probe_id: (r.dim_id, r.stage) for r in out.collect()}
+    assert got == {1: (100, 0), 2: (101, 1), 4: (101, 0)}  # 3 unresolved
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_pruning(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1995-01-01").select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: scan schema holds only the 3 referenced columns
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "l_orderkey", "l_quantity", "l_shipdate",
+    }
+
+
+def test_dimension_joins_are_broadcast(spark):
+    from kahi_spark.queries import q_nation_revenue
+
+    plan = _plan(q_nation_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_join_is_blocked_not_cartesian(spark):
+    from kahi_spark.queries import q_fuzzy_title_match
+
+    plan = _plan(q_fuzzy_title_match(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_join_is_equi_join(spark):
+    from kahi_spark.queries import q_minhash_lsh_neardup
+
+    plan = _plan(q_minhash_lsh_neardup(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cdc_reduce_is_single_shuffle(spark):
+    """The LWW replay plan shuffles exactly once (the keyed window) —
+    normalization stays in the scan stage (whole-stage codegen)."""
+    from kahi_spark.queries import q_cdc_apply_lww
+
+    q = q_cdc_apply_lww(spark, SF)
+    plan = _plan(q)
+    # one Exchange for the window
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # Spark inserts a PARTIAL WindowGroupLimit before the shuffle —
+    # map-side top-1 per key, the CDC compaction we want at 10^10
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+    # normalization (role map, regex cleaner) is fused into the scan
+    # stage, pre-shuffle
+    pre_exchange = plan.split("Exchange hashpartitioning")[1]
+    assert "regexp_replace" in pre_exchange
