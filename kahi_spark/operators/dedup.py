@@ -199,43 +199,50 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_expr(text_col: str = "text", bits: int = 64):
-    """64-bit SimHash as a pure column expression: per token t,
-    xxhash64(t) votes ±1 on each bit; the sign of each bit-sum forms
-    the fingerprint. Near-dups differ in few bits (Hamming).
+def with_simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """64-bit SimHash: per token t, xxhash64(t) votes ±1 on each bit;
+    the sign of each bit-sum is the fingerprint bit. Near-dups differ
+    in few bits (Hamming distance).
 
-    Expressed with higher-order functions: aggregate over the token
-    array accumulating a 64-slot vote vector — no explode, no
-    shuffle, no UDF.
-    """
+    Pure higher-order functions — no explode, no shuffle, no UDF.
+    Two selects on purpose: the vote vector is materialized as its
+    own column before the 64-reference bit-fold; inlining it would
+    re-evaluate the whole token aggregate per referenced bit
+    (CollapseProject keeps multi-referenced non-cheap aliases)."""
     toks = F.array_distinct(F.split(F.col(text_col), " "))
+
+    def bits_pm1(h):  # ±1 vote per bit; bit positions unrolled statically
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for b in range(bits)
+            ]
+        )
+
     votes = F.aggregate(
         toks,
         F.array_repeat(F.lit(0).cast("int"), bits),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda i: F.when(
-                    F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1),
-                ).otherwise(F.lit(-1)),
-            ),
-            lambda a, v: a + v,
-        ),
+        lambda acc, t: F.zip_with(acc, bits_pm1(F.xxhash64(t)), lambda a, v: a + v),
     )
-    # fold sign bits into a single long
-    return F.aggregate(
-        F.zip_with(
-            votes,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
+    staged = docs.select(F.col(id_col), votes.alias("_votes"))
+    # top bit uses the sign position of the signed long
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        weight = (1 << b) if b < 63 else -(1 << 63)
+        out = out.bitwiseOR(
+            F.when(
+                F.element_at(F.col("_votes"), b + 1) > 0, F.lit(weight).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return staged.select(F.col(id_col), out.alias(out_col))
 
 
 def simhash_neardup_pairs(
@@ -249,7 +256,7 @@ def simhash_neardup_pairs(
     ``n_bands`` 16-bit chunks (pigeonhole: hamming ≤ n_bands-1 ⇒ some
     band equal; wider radii trade recall), bucket-join, then filter
     by exact Hamming distance ≤ ``max_hamming``."""
-    sh = docs.select(F.col(id_col), simhash_expr(text_col).alias("simhash"))
+    sh = with_simhash(docs, id_col=id_col, text_col=text_col)
     width = 64 // n_bands
     bands = sh.select(
         id_col,

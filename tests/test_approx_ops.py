@@ -1,0 +1,76 @@
+"""Approximate operators: LSH kNN recall vs brute force, SimHash
+near-dup detection, MinHash signature properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_knn_lsh_recall_vs_bruteforce(spark):
+    from kahi_spark.operators.similarity import knn_bruteforce, knn_lsh
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in knn_bruteforce(probes, emb, k=5).collect()
+    }
+    # these embeddings are near-random (top cosine ~0.4 ≈ 66°), the
+    # hardest regime for hyperplane LSH: collision prob per table is
+    # (1-θ/π)^planes, so recall needs few planes + many tables.
+    # Real embedding corpora are clustered (θ small for true
+    # neighbors) and support more planes / stronger pruning.
+    approx = {
+        (r.probe_id, r.neighbor_id)
+        for r in knn_lsh(probes, emb, k=5, n_planes=4, n_tables=16).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH recall {recall:.2f} too low"
+    # determinism: same params → same result
+    again = {
+        (r.probe_id, r.neighbor_id)
+        for r in knn_lsh(probes, emb, k=5, n_planes=4, n_tables=16).collect()
+    }
+    assert approx == again
+
+
+def test_simhash_finds_planted_neardups(spark):
+    from kahi_spark.operators.dedup import simhash_neardup_pairs
+    from kahi_spark.operators.dedup import jaccard_pairs, shingle_df
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # ground truth: word-3gram jaccard ≥ 0.8 (the planted near-dups)
+    truth = {
+        (r.doc_a, r.doc_b) for r in jaccard_pairs(shingle_df(docs), threshold=0.8).collect()
+    }
+    assert truth, "fixture should contain planted near-dups"
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_neardup_pairs(docs, max_hamming=12, n_bands=8).collect()
+    }
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.8, f"simhash recall {recall:.2f}"
+
+
+def test_minhash_signature_similarity_tracks_jaccard(spark):
+    """Signature agreement rate ≈ true Jaccard (MinHash property)."""
+    from kahi_spark.operators.dedup import minhash_signatures, shingle_df
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l"),
+            (2, "a b c d e f g h i j k z"),  # ~0.83 trigram overlap
+            (3, "z y x w v u t s r q p o"),  # disjoint
+        ],
+        ["doc_id", "text"],
+    )
+    sig = minhash_signatures(shingle_df(docs), n_hashes=128).collect()
+    rows = {r.doc_id: [r[f"mh_{i}"] for i in range(128)] for r in sig}
+
+    def agree(a, b):
+        return sum(x == y for x, y in zip(rows[a], rows[b])) / 128
+
+    assert agree(1, 2) > 0.5
+    assert agree(1, 3) < 0.15
