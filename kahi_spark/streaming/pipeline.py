@@ -46,11 +46,22 @@ class CdcPipeline:
         use_pandas_cleaner: bool = False,
         max_files_per_trigger: int = 1,
         salt_buckets: int = 0,
+        converge_sources: tuple[str, ...] | None = None,
+        policies: dict[str, str] | None = None,
     ) -> None:
         """``salt_buckets``: >0 enables the two-phase salted LWW
         reduction for hot conv_ids (north_rule skew handling — a
         conversation holding ~10% of 10^10 events would otherwise pin
-        one reducer task)."""
+        one reducer task).
+
+        ``converge_sources``: a source-priority tuple enables
+        Kahi-style multi-source convergence per batch — fields of the
+        same ``(conv_id, turn_idx)`` arriving from several feeds are
+        composed by priority (``join_document`` semantics,
+        reference ``KahiParser.py:334-666``) before the MERGE, so one
+        canonical record lands per key. Combine with ``policies``
+        (e.g. ``{"tool": "fill_empty"}``) for cross-batch
+        complement-style patching (A9)."""
         self.spark = spark
         self.event_dir = event_dir
         self.table = table
@@ -59,7 +70,29 @@ class CdcPipeline:
         self.use_pandas_cleaner = use_pandas_cleaner
         self.max_files_per_trigger = max_files_per_trigger
         self.salt_buckets = salt_buckets
+        self.converge_sources = converge_sources
+        self.policies = policies
         self.metrics: list[dict] = []
+
+    def _converge(self, normalized: DataFrame) -> DataFrame:
+        """Per-batch multi-source field composition → synthesized
+        change events (one per key, op/ts/seq of the latest raw
+        event so deletes and LWW ordering still work)."""
+        from pyspark.sql import functions as F
+
+        from kahi_spark.operators.merge import latest_change_per_key, priority_merge
+
+        fields = priority_merge(
+            normalized,
+            value_cols=["role", "text", "tool"],
+            priority=self.converge_sources,
+        ).drop("sources", "ts")
+        heads = latest_change_per_key(normalized).select(
+            "conv_id", "turn_idx", "op", "seq", "ts", "source"
+        )
+        return heads.join(fields, on=["conv_id", "turn_idx"], how="inner").select(
+            "seq", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts", "source"
+        )
 
     def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
         t0 = time.time()
@@ -67,10 +100,13 @@ class CdcPipeline:
         if n == 0:
             return
         normalized = normalize_events(batch, use_pandas_cleaner=self.use_pandas_cleaner)
+        if self.converge_sources:
+            normalized = self._converge(normalized)
         applied = self.table.merge(
             normalized,
             epoch_id=epoch_id,
             salt_buckets=self.salt_buckets,
+            policies=self.policies,
             extra_metrics={"events": n},
         )
         wall = time.time() - t0
