@@ -103,19 +103,16 @@ def cdc_apply_job(spark, event_path: str) -> int:
 
 
 def _measure_once(master: str, parts: int, event_path: str) -> dict:
-    """One warmup + two measured runs (min) of the change-apply job.
-    Min-of-2 inside the subprocess guards against transient VM noise
-    (CPU steal) polluting a single measurement."""
+    """One warmup + one measured run of the change-apply job in a
+    fresh JVM; run_scaling interleaves these across levels and takes
+    the min per level to ride out transient VM noise."""
     spark = fresh_session(master, parts)
     cdc_apply_job(spark, event_path)  # warmup (JIT, page cache)
-    walls = []
-    rows = 0
-    for _ in range(2):
-        t0 = time.time()
-        rows = cdc_apply_job(spark, event_path)
-        walls.append(time.time() - t0)
+    t0 = time.time()
+    rows = cdc_apply_job(spark, event_path)
+    wall = time.time() - t0
     spark.stop()
-    return {"wall_s": round(min(walls), 3), "rows": rows}
+    return {"wall_s": round(wall, 3), "rows": rows}
 
 
 def run_scaling(tmp: str) -> dict:
@@ -134,11 +131,14 @@ def run_scaling(tmp: str) -> dict:
     gen_spark.stop()
 
     repeats = int(os.environ.get("KAHI_BENCH_REPEATS", "2"))
-    out = {"events": SCALING_EVENTS}
-    for label, master, parts in (("n8", "local[8]", 8), ("n32", "local[32]", 32)):
-        walls = []
-        rows = None
-        for _ in range(repeats):
+    levels = (("n8", "local[8]", 8), ("n32", "local[32]", 32))
+    walls: dict[str, list] = {lbl: [] for lbl, _, _ in levels}
+    rows_by: dict[str, int] = {}
+    # INTERLEAVED rounds (n8, n32, n8, n32, …): ambient VM noise
+    # (CPU steal) comes in windows; alternating levels exposes both
+    # to the same windows instead of letting one level eat a bad one
+    for _ in range(repeats):
+        for label, master, parts in levels:
             res = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--measure", master, str(parts), event_path],
                 capture_output=True,
@@ -146,14 +146,16 @@ def run_scaling(tmp: str) -> dict:
                 check=True,
             )
             rec = json.loads(res.stdout.strip().splitlines()[-1])
-            walls.append(rec["wall_s"])
-            rows = rec["rows"]
-        best = min(walls)
+            walls[label].append(rec["wall_s"])
+            rows_by[label] = rec["rows"]
+    out = {"events": SCALING_EVENTS}
+    for label, _, _ in levels:
+        best = min(walls[label])
         out[label] = {
             "wall_s": best,
-            "all_wall_s": walls,
+            "all_wall_s": walls[label],
             "events_per_sec": round(SCALING_EVENTS / best, 1),
-            "rows": rows,
+            "rows": rows_by[label],
         }
     eff = (out["n32"]["events_per_sec"] / out["n8"]["events_per_sec"]) / 4.0
     out["parallelism_ratio"] = 4

@@ -751,6 +751,22 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group (§2.4 note: distinct-count
+    aggregates are one-liners in the engine)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping sets / CUBE (SURVEY.md §2.4 note: one-liner in the
     engine even though absent in the reference)."""
@@ -801,6 +817,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_events": q_sessionize_events,
     "tumbling_hourly": q_tumbling_hourly,
     "cube_revenue": q_cube_revenue,
+    "distinct_users": q_distinct_users,
 }
 
 ORACLES: dict[str, str] = {
@@ -829,4 +846,5 @@ ORACLES: dict[str, str] = {
     "sessionize_events": ORACLE_SESSIONIZE_EVENTS,
     "tumbling_hourly": ORACLE_TUMBLING_HOURLY,
     "cube_revenue": ORACLE_CUBE_REVENUE,
+    "distinct_users": ORACLE_DISTINCT_USERS,
 }
