@@ -123,9 +123,21 @@ class SnapshotTable:
     def exists(self) -> bool:
         return self._read_manifest()["snapshot"] is not None
 
-    def read(self) -> DataFrame:
-        """Current table state, live rows, user columns only."""
-        df = self.read_internal()
+    def read(self, version: int | None = None) -> DataFrame:
+        """Table state: live rows, user columns only.
+
+        ``version`` time-travels to an earlier committed BASE
+        snapshot (Iceberg ``VERSION AS OF`` analogue) while its files
+        survive GC; deltas newer than it are not applied."""
+        if version is not None:
+            snap = f"v{version:08d}"
+            if not os.path.isdir(os.path.join(self.path, snap)):
+                raise FileNotFoundError(
+                    f"version {version} expired or never was a base snapshot"
+                )
+            df = self.spark.read.parquet(os.path.join(self.path, snap))
+        else:
+            df = self.read_internal()
         return df.filter(~F.col(SYS_DELETED)).drop(SYS_SEQ, SYS_DELETED)
 
     def read_internal(self) -> DataFrame:
