@@ -121,7 +121,8 @@ class SnapshotTable:
 
     # --- reads ------------------------------------------------------------
     def exists(self) -> bool:
-        return self._read_manifest()["snapshot"] is not None
+        m = self._read_manifest()
+        return m["snapshot"] is not None or bool(m["deltas"])
 
     def read(self, version: int | None = None) -> DataFrame:
         """Table state: live rows, user columns only.

@@ -48,11 +48,18 @@ class CdcPipeline:
         salt_buckets: int = 0,
         converge_sources: tuple[str, ...] | None = None,
         policies: dict[str, str] | None = None,
+        resolve_keyless: bool = False,
     ) -> None:
         """``salt_buckets``: >0 enables the two-phase salted LWW
         reduction for hot conv_ids (north_rule skew handling — a
         conversation holding ~10% of 10^10 events would otherwise pin
         one reducer task).
+
+        ``resolve_keyless``: events arriving with NULL conv_id are
+        fuzzy-matched against the current table state (blocked
+        char-bigram similarity; EP3, the reference's
+        similarity-driven ingest) and adopt the matched key, or mint
+        a surrogate when nothing matches.
 
         ``converge_sources``: a source-priority tuple enables
         Kahi-style multi-source convergence per batch — fields of the
@@ -72,6 +79,7 @@ class CdcPipeline:
         self.salt_buckets = salt_buckets
         self.converge_sources = converge_sources
         self.policies = policies
+        self.resolve_keyless = resolve_keyless
         self.metrics: list[dict] = []
 
     def _converge(self, normalized: DataFrame) -> DataFrame:
@@ -100,6 +108,15 @@ class CdcPipeline:
         if n == 0:
             return
         normalized = normalize_events(batch, use_pandas_cleaner=self.use_pandas_cleaner)
+        if self.resolve_keyless:
+            from kahi_spark.operators.keyless import resolve_keyless_events
+
+            state = (
+                self.table.read()
+                if self.table.exists()
+                else self.spark.createDataFrame([], "conv_id string, turn_idx int, role string, text string")
+            )
+            normalized = resolve_keyless_events(normalized, state)
         if self.converge_sources:
             normalized = self._converge(normalized)
         applied = self.table.merge(

@@ -1,0 +1,117 @@
+"""EP3 keyless-event resolution: fuzzy re-key against table state,
+standalone and end-to-end through the pipeline."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kahi_spark.operators.keyless import resolve_keyless_events
+from kahi_spark.schema import TRANSCRIPT_SCHEMA
+
+NULLABLE_EVENTS = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("conv_id", T.StringType(), True),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+
+def ts(i):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)
+
+
+def test_resolver_matches_blocks_and_mints(spark):
+    state = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "the quick brown fox jumps over the lazy dog", None, ts(0)),
+            ("c2", 0, "user", "completely different conversation text here", None, ts(0)),
+            ("c1", 1, "assistant", "spark merges streams of change events", None, ts(1)),
+        ],
+        TRANSCRIPT_SCHEMA,
+    )
+    events = spark.createDataFrame(
+        [
+            # near-dup of c1 turn 0 (same block) → resolves to c1
+            (10, "update", None, 0, "user", "the quick brown fox jumps over the lazy dogs", None, ts(10), "wos"),
+            # wrong block (turn 5): same text must NOT match
+            (11, "insert", None, 5, "user", "the quick brown fox jumps over the lazy dog", None, ts(11), "wos"),
+            # no similar text anywhere → minted surrogate
+            (12, "insert", None, 0, "user", "zzzz qqqq xxxx wwww vvvv", None, ts(12), "wos"),
+            # keyed events pass through untouched
+            (13, "insert", "c9", 3, "user", "whatever", None, ts(13), "lens"),
+        ],
+        NULLABLE_EVENTS,
+    )
+    out = {r.seq: r.conv_id for r in resolve_keyless_events(events, state).collect()}
+    assert out[10] == "c1"
+    assert out[11] == "u11"  # blocked out despite identical text
+    assert out[12] == "u12"
+    assert out[13] == "c9"
+
+
+def test_pipeline_resolves_keyless_end_to_end(spark, tmp_path):
+    from kahi_spark.sinks.snapshot import SnapshotTable
+    from kahi_spark.streaming.pipeline import CdcPipeline
+
+    event_dir = str(tmp_path / "ev")
+    os.makedirs(event_dir)
+    b0 = pd.DataFrame(
+        {
+            "seq": [0, 1],
+            "op": ["insert", "insert"],
+            "conv_id": pd.array(["c1", "c1"], dtype="string"),
+            "turn_idx": pd.array([0, 1], dtype="int32"),
+            "role": ["USER", "ai"],
+            "text": ["alpha beta gamma delta epsilon zeta", "eta theta iota kappa"],
+            "tool": pd.array([None, None], dtype="string"),
+            "ts": pd.to_datetime([1_704_067_200, 1_704_067_210], unit="s").astype("datetime64[us]"),
+            "source": ["lens", "lens"],
+        }
+    )
+    # batch 2: a keyless UPDATE of c1 turn 0 (text near-dup) + a
+    # keyless brand-new turn
+    b1 = pd.DataFrame(
+        {
+            "seq": [2, 3],
+            "op": ["update", "insert"],
+            "conv_id": pd.array([None, None], dtype="string"),
+            "turn_idx": pd.array([0, 7], dtype="int32"),
+            "role": ["human", "USER"],
+            "text": ["alpha beta gamma delta epsilon zetas", "totally new content words"],
+            "tool": pd.array([None, None], dtype="string"),
+            "ts": pd.to_datetime([1_704_067_300, 1_704_067_310], unit="s").astype("datetime64[us]"),
+            "source": ["wos", "wos"],
+        }
+    )
+    b0.to_parquet(f"{event_dir}/b0.parquet", index=False)
+    table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=2)
+    pipe = CdcPipeline(
+        spark, event_dir, table, str(tmp_path / "ck"),
+        schema=NULLABLE_EVENTS, resolve_keyless=True,
+    )
+    pipe.run_until_idle()
+    b1.to_parquet(f"{event_dir}/b1.parquet", index=False)
+    CdcPipeline(
+        spark, event_dir, table, str(tmp_path / "ck"),
+        schema=NULLABLE_EVENTS, resolve_keyless=True,
+    ).run_until_idle()
+
+    rows = {(r.conv_id, r.turn_idx): r.text for r in table.read().collect()}
+    # the keyless update landed on c1/0 (LWW: newer ts wins)
+    assert rows[("c1", 0)] == "alpha beta gamma delta epsilon zetas"
+    # the unmatched keyless insert minted u3
+    assert rows[("u3", 7)] == "totally new content words"
+    assert len(rows) == 3
