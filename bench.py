@@ -163,6 +163,42 @@ def run_scaling(tmp: str) -> dict:
     return out
 
 
+def run_pipeline_throughput(tmp: str, n_events: int = 6_000_000, n_epochs: int = 6) -> dict:
+    """End-to-end change-apply throughput INCLUDING the sink: stream
+    n_epochs binlog files through CdcPipeline into a MOR table
+    (delta appends + compaction) — the metric BASELINE.json names."""
+    from kahi_spark.gen import generate_events_spark
+    from kahi_spark.sinks.snapshot import SnapshotTable
+    from kahi_spark.streaming.pipeline import CdcPipeline
+
+    spark = fresh_session(f"local[{CPUS}]", CPUS)
+    event_dir = os.path.join(tmp, "pipe-events")
+    generate_events_spark(spark, n_events, event_dir, n_files=n_epochs)
+    table = SnapshotTable(
+        spark, os.path.join(tmp, "pipe-table"), n_buckets=CPUS, mode="mor", compact_every=4
+    )
+    pipe = CdcPipeline(
+        spark,
+        event_dir,
+        table,
+        os.path.join(tmp, "pipe-ckpt"),
+        max_files_per_trigger=1,
+    )
+    t0 = time.time()
+    pipe.run_until_idle(timeout_s=400)
+    wall = time.time() - t0
+    rows = table.read().count()
+    spark.stop()
+    return {
+        "events": n_events,
+        "epochs": n_epochs,
+        "wall_s": round(wall, 3),
+        "events_per_sec": round(n_events / wall, 1),
+        "final_rows": rows,
+        "sink_mode": "mor",
+    }
+
+
 def main() -> None:
     tmp = "/tmp/kahi_bench"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -173,6 +209,10 @@ def main() -> None:
     run_headline(spark)
     queries = run_headline(spark)
     spark.stop()
+
+    pipeline = {}
+    if os.environ.get("KAHI_BENCH_SKIP_PIPELINE") != "1":
+        pipeline = run_pipeline_throughput(tmp)
 
     scaling = {}
     if os.environ.get("KAHI_BENCH_SKIP_SCALING") != "1":
@@ -187,6 +227,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": queries,
                 "sf": sf_from_dir(SF_DIR),
+                "pipeline": pipeline,
                 "scaling": scaling,
             }
         )

@@ -245,11 +245,17 @@ class SnapshotTable:
         policies: dict[str, str] | None = None,
         salt_buckets: int = 0,
         extra_metrics: dict | None = None,
+        watermark=None,
     ) -> bool:
         """MERGE a change batch (with ``op`` column) into the table.
 
         Idempotent: a replayed epoch_id is a committed no-op.
         Returns True if the epoch was applied, False if skipped.
+
+        ``watermark``: pre-computed max event ts for this batch — pass
+        it when the caller already scanned the batch (saves one full
+        pass per epoch; the pipeline computes count+watermark in one
+        agg).
 
         ``policies``: per-column merge policy (A9 mod-patch semantics,
         see ``operators.merge.MERGE_POLICIES``). COW mode only — the
@@ -268,11 +274,11 @@ class SnapshotTable:
         extra = extra_metrics or {}
 
         if self.mode == "mor":
-            return self._merge_mor(m, changes, reduced, epoch_id, extra)
+            return self._merge_mor(m, changes, reduced, epoch_id, extra, watermark)
 
         if m["snapshot"] is None:
             state = state_from_reduced(reduced, key_cols=self.key_cols)
-            wm = changes.agg(F.max("ts")).collect()[0][0]
+            wm = watermark if watermark is not None else changes.agg(F.max("ts")).collect()[0][0]
             self._commit(state, epoch_id=epoch_id, op="merge", watermark=str(wm), **extra)
             return True
 
@@ -295,7 +301,7 @@ class SnapshotTable:
         new_state = merge_changes_into_state(
             state, reduced, key_cols=self.key_cols, value_cols=vals, policies=policies
         )
-        wm = changes.agg(F.max("ts")).collect()[0][0]
+        wm = watermark if watermark is not None else changes.agg(F.max("ts")).collect()[0][0]
         self._commit(
             new_state,
             epoch_id=epoch_id,
@@ -314,6 +320,7 @@ class SnapshotTable:
         reduced: DataFrame,
         epoch_id: int,
         extra: dict | None = None,
+        watermark=None,
     ) -> bool:
         """Append the reduced batch as a delta file (cost O(batch));
         fold deltas into a new base every ``compact_every`` epochs."""
@@ -328,7 +335,7 @@ class SnapshotTable:
             .write.mode("overwrite")
             .parquet(os.path.join(self.path, delta_dir))
         )
-        wm = changes.agg(F.max("ts")).collect()[0][0]
+        wm = watermark if watermark is not None else changes.agg(F.max("ts")).collect()[0][0]
         m["version"] = version
         m["deltas"].append(delta_dir)
         m["epochs"][str(epoch_id)] = version

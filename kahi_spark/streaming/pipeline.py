@@ -104,7 +104,11 @@ class CdcPipeline:
 
     def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
         t0 = time.time()
-        n = batch.count()
+        # one pass for both batch metrics (count + watermark)
+        from pyspark.sql import functions as F
+
+        stats = batch.agg(F.count(F.lit(1)).alias("n"), F.max("ts").alias("wm")).collect()[0]
+        n, wm = stats.n, stats.wm
         if n == 0:
             return
         normalized = normalize_events(batch, use_pandas_cleaner=self.use_pandas_cleaner)
@@ -125,6 +129,7 @@ class CdcPipeline:
             salt_buckets=self.salt_buckets,
             policies=self.policies,
             extra_metrics={"events": n},
+            watermark=wm,
         )
         wall = time.time() - t0
         # in-memory mirror of the durable per-commit metrics the sink
