@@ -7,7 +7,12 @@ import pytest
 def spark():
     from kahi_spark.session import get_spark
 
-    s = get_spark(app_name="kahi_spark_tests", master="local[4]", shuffle_partitions=4)
+    s = get_spark(
+        app_name="kahi_spark_tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": "/tmp/kahi_test_warehouse"},
+    )
     yield s
 
 
