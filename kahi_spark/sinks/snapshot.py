@@ -328,13 +328,12 @@ class SnapshotTable:
         delta_state = state_from_reduced(reduced, key_cols=self.key_cols)
         version = m["version"] + 1
         delta_dir = f"d{version:08d}"
-        (
-            delta_state.repartition(
-                max(1, self.n_buckets // 4), *[F.col(k) for k in self.key_cols]
-            )
-            .write.mode("overwrite")
-            .parquet(os.path.join(self.path, delta_dir))
-        )
+        # NO repartition: latest_change_per_key's window already left
+        # the rows hash-partitioned on the key — an explicit
+        # repartition here would be a redundant second shuffle (file
+        # count follows shuffle partitions; compaction re-buckets to
+        # n_buckets anyway)
+        delta_state.write.mode("overwrite").parquet(os.path.join(self.path, delta_dir))
         wm = watermark if watermark is not None else changes.agg(F.max("ts")).collect()[0][0]
         m["version"] = version
         m["deltas"].append(delta_dir)
