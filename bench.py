@@ -28,6 +28,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALING_EVENTS = int(os.environ.get("KAHI_BENCH_SCALING_EVENTS", "24000000"))
+# soft wall-clock budget: once exceeded, remaining OPTIONAL repeats are
+# skipped (≥1 sample per scaling level is always taken) so the JSON
+# line is always emitted even in the sandbox's degraded-VM windows
+DEADLINE_S = float(os.environ.get("KAHI_BENCH_DEADLINE_S", "420"))
+_T_START = time.time()
 
 HEADLINE = [
     "cdc_apply_lww",
@@ -103,16 +108,20 @@ def cdc_apply_job(spark, event_path: str) -> int:
 
 
 def _measure_once(master: str, parts: int, event_path: str) -> dict:
-    """One warmup + one measured run of the change-apply job in a
-    fresh JVM; run_scaling interleaves these across levels and takes
-    the min per level to ride out transient VM noise."""
+    """One warmup + two measured runs (min) of the change-apply job
+    in a fresh JVM; run_scaling interleaves subprocesses across
+    levels and takes the min per level — 4 samples per level total,
+    riding out transient VM-noise windows within the time budget."""
     spark = fresh_session(master, parts)
     cdc_apply_job(spark, event_path)  # warmup (JIT, page cache)
-    t0 = time.time()
-    rows = cdc_apply_job(spark, event_path)
-    wall = time.time() - t0
+    walls = []
+    rows = 0
+    for _ in range(2):
+        t0 = time.time()
+        rows = cdc_apply_job(spark, event_path)
+        walls.append(time.time() - t0)
     spark.stop()
-    return {"wall_s": round(wall, 3), "rows": rows}
+    return {"wall_s": round(min(walls), 3), "rows": rows}
 
 
 def run_scaling(tmp: str) -> dict:
@@ -137,7 +146,9 @@ def run_scaling(tmp: str) -> dict:
     # INTERLEAVED rounds (n8, n32, n8, n32, …): ambient VM noise
     # (CPU steal) comes in windows; alternating levels exposes both
     # to the same windows instead of letting one level eat a bad one
-    for _ in range(repeats):
+    for rep in range(repeats):
+        if rep > 0 and time.time() - _T_START > DEADLINE_S:
+            break  # keep the guaranteed first interleaved round only
         for label, master, parts in levels:
             res = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--measure", master, str(parts), event_path],
@@ -163,7 +174,7 @@ def run_scaling(tmp: str) -> dict:
     return out
 
 
-def run_pipeline_throughput(tmp: str, n_events: int = 6_000_000, n_epochs: int = 6) -> dict:
+def run_pipeline_throughput(tmp: str, n_events: int = 4_000_000, n_epochs: int = 4) -> dict:
     """End-to-end change-apply throughput INCLUDING the sink: stream
     n_epochs binlog files through CdcPipeline into a MOR table
     (delta appends + compaction) — the metric BASELINE.json names."""
