@@ -116,7 +116,7 @@ def make_multisource_events(n_convs: int = 20, seed: int = 7) -> pd.DataFrame:
             rows.append((seq, "insert", f"m{c}", t, "human" if t % 2 == 0 else "Assistant",
                          f"\\emph  {base_text} ", "search" if t % 3 == 0 else None,
                          ts0 + 1, "wos")); seq += 1
-            # scopus feed (priority winner): sparse — only some turns
+            # scopus feed (lowest default priority): sparse — only some turns
             if t % 2 == 0:
                 rows.append((seq, "insert", f"m{c}", t, "user",
                              base_text.upper(), None, ts0 + 2, "scopus")); seq += 1

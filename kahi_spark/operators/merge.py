@@ -34,10 +34,15 @@ from kahi_spark.functions.text import clean_text_expr
 from kahi_spark.functions.tools import extract_tool_expr
 from kahi_spark.schema import KEY_COLS
 
-#: default source priority, highest first (reference: publication_type
-#: priority scielo→scopus→wos→lens, ``KahiParser.py:366-376``; kept
-#: configurable per SURVEY.md §7 "non-standard merge semantics").
-DEFAULT_SOURCE_PRIORITY = ("scielo", "scopus", "wos", "lens", "scholar", "oadoi")
+#: default source priority, highest first. The reference's
+#: publication_type merge (``KahiParser.py:366-376``) is an OVERWRITE
+#: chain — scielo written first, then scopus/wos/lens each overwrite
+#: if present — so the LAST writer (lens) is the effective
+#: highest-priority source; this tuple lists that effective priority
+#: highest-first. Kept configurable per SURVEY.md §7 "non-standard
+#: merge semantics" (other fields use other chains, e.g. abstract
+#: ``KahiParser.py:413-425``).
+DEFAULT_SOURCE_PRIORITY = ("lens", "wos", "scopus", "scielo", "scholar", "oadoi")
 
 
 def normalize_events(events: DataFrame, use_pandas_cleaner: bool = False) -> DataFrame:
@@ -141,11 +146,17 @@ def priority_merge(
         tiers = [
             F.max(F.when(F.col("source") == p, F.col(col))) for p in priority
         ]
-        # unknown sources: deterministic fallback (min source name order)
+        # unknown sources: deterministic fallback — the value from the
+        # lexicographically-smallest unknown source that HAS the field
+        # (struct min is lexicographic: source name first, then value
+        # for same-source ties).
         known = F.lit(False)
         for p in priority:
             known = known | (F.col("source") == p)
-        tiers.append(F.max(F.when(~known, F.col(col))))
+        unknown_pick = F.min(
+            F.when(~known & F.col(col).isNotNull(), F.struct(F.col("source"), F.col(col).alias("v")))
+        ).getField("v")
+        tiers.append(unknown_pick)
         return F.coalesce(*tiers).alias(col)
 
     aggs = [pick(c) for c in value_cols]
@@ -185,9 +196,11 @@ def _newer_than(new_ts: Column, new_seq: Column, old_ts: Column, old_seq: Column
 #:                (Kahi: aliases/keywords/ids/serials dedup append)
 #:   greatest   — max of both (Kahi: max source_checked date,
 #:                KahiDb.py:850-858)
-#: fill_empty/union/greatest are COMMUTATIVE — replay order can't
-#: change the result, which is what makes retried epochs safe even
-#: for these non-LWW columns.
+#: union/greatest are COMMUTATIVE (replay order can't change the
+#: result); fill_empty is only IDEMPOTENT — first-non-null-wins
+#: depends on batch arrival order across batches, so replaying the
+#: SAME epoch is safe (the ledger guarantees that) but reordering
+#: different epochs can change which batch filled a NULL first.
 MERGE_POLICIES = ("lww", "fill_empty", "union", "greatest")
 
 

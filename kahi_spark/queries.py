@@ -721,9 +721,12 @@ WITH g AS (
     FROM events
 ),
 s AS (
-    SELECT *, sum(is_start) OVER (
+    -- CAST: DuckDB's windowed sum returns HUGEINT, which pandas
+    -- renders as float64 and breaks the driver's value hash against
+    -- Spark's BIGINT (values are otherwise identical).
+    SELECT *, CAST(sum(is_start) OVER (
         PARTITION BY user_id ORDER BY ts, event_id
-        ROWS UNBOUNDED PRECEDING) AS session_id
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
     FROM g
 )
 SELECT user_id, session_id, count(*) AS n_events,

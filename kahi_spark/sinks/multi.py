@@ -30,6 +30,12 @@ from kahi_spark.sinks.snapshot import SnapshotTable
 class MultiTableTxn:
     def __init__(self, tables: dict[str, SnapshotTable], ledger_path: str) -> None:
         self.tables = tables
+        # canonical apply order = construction order of ``tables``
+        # (callers list dimensions before facts, mirroring the
+        # reference's sources→institutions→authors→documents sequence,
+        # KahiDb.py:864-909); merge_all enforces it regardless of the
+        # batches dict's insertion order.
+        self.table_order = list(tables)
         self.ledger_path = ledger_path
         os.makedirs(os.path.dirname(ledger_path) or ".", exist_ok=True)
 
@@ -44,17 +50,21 @@ class MultiTableTxn:
 
     def merge_all(self, batches: dict[str, DataFrame], epoch_id: int) -> dict[str, bool]:
         """Apply one epoch's changes to every named table, in the
-        given order (reference ordering: dimensions before facts).
+        transaction's CANONICAL order (dimensions before facts —
+        ``self.table_order``), not the caller's batches-dict order.
         Idempotent at both levels: retried epochs skip tables that
         already committed; a fully-committed epoch is a no-op."""
+        for name in batches:
+            if name not in self.tables:
+                raise KeyError(f"unknown table {name!r}")
         ledger = self._read_ledger()
         if str(epoch_id) in ledger["epochs"]:
             return {name: False for name in batches}
         applied = {}
-        for name, df in batches.items():
-            if name not in self.tables:
-                raise KeyError(f"unknown table {name!r}")
-            applied[name] = self.tables[name].merge(df, epoch_id=epoch_id)
+        for name in self.table_order:
+            if name not in batches:
+                continue
+            applied[name] = self.tables[name].merge(batches[name], epoch_id=epoch_id)
         ledger["epochs"][str(epoch_id)] = sorted(batches)
         tmp = self.ledger_path + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:

@@ -86,10 +86,12 @@ def test_priority_merge_converges_multisource(spark):
     assert merged.groupBy("conv_id", "turn_idx").count().filter("count > 1").count() == 0
     n_keys = df.select("conv_id", "turn_idx").distinct().count()
     assert merged.count() == n_keys
-    # field-level priority: scopus text wins where present; tool only
-    # wos provides it → taken from wos (complement semantics)
+    # field-level priority (lens highest — the reference's effective
+    # last-overwrite-wins order): lens text wins over the uppercased
+    # scopus version; tool only wos provides → taken from wos
+    # (complement semantics)
     row = merged.filter((F.col("conv_id") == "m0") & (F.col("turn_idx") == 0)).collect()[0]
-    assert row.text == row.text.upper()  # scopus version was uppercased
+    assert row.text == row.text.lower()  # lens (clean lowercase) won
     assert row.tool == "search"  # only wos had it
     assert sorted(row.sources) == ["lens", "scopus", "wos"]
 
