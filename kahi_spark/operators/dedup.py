@@ -14,7 +14,7 @@ construction, so no skew; candidates are a tiny fraction of pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Mersenne prime modulus for the universal-hash permutation family
@@ -52,12 +52,35 @@ def shingle_counts(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def jaccard_pairs(
-    shingles: DataFrame, id_col: str = "doc_id", threshold: float = 0.8
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard ≥ threshold pairs from an exploded shingle frame:
     shingle equi-join (blocking — the cross product never exists) →
     per-pair common counts → join tiny per-doc counts for the union
-    size. Output: (doc_a, doc_b, jaccard rounded to 6)."""
+    size. Output: (doc_a, doc_b, jaccard rounded to 6).
+
+    ``max_df`` caps shingle document frequency BEFORE the self-join:
+    a shingle shared by d docs contributes d² join rows, so one
+    boilerplate trigram in 10^5 docs would alone create ~10^10 rows
+    (hot-key quadratic blowup). With the cap, Jaccard is computed
+    over each doc's RARE-shingle subset (both the intersection and
+    the per-doc counts use the capped sets, so the ratio stays a true
+    Jaccard — of the informative shingles). Error bound: a pair whose
+    true Jaccard is j can move by at most f/(1-f) where f is the
+    larger fraction of capped-away shingles in either doc; dropped
+    shingles are by construction the least discriminative (df > K).
+    Callers needing the uncapped measure at scale should verify LSH
+    candidates instead (``verify_jaccard``)."""
+    if max_df is not None:
+        w = Window.partitionBy("shingle")
+        shingles = (
+            shingles.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
     counts = shingle_counts(shingles, id_col)
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -243,6 +266,97 @@ def with_simhash(
             ).otherwise(F.lit(0).cast("long"))
         )
     return staged.select(F.col(id_col), out.alias(out_col))
+
+
+def with_simhash32_md5(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PORTABLE 32-bit SimHash: per distinct token, bit b of the
+    fingerprint votes +1 iff hex digit b of ``md5(token)`` is ≥ '8'
+    (the digit's top bit) — md5 renders identically in Spark and
+    DuckDB, so the oracle can mirror the fingerprint bit-for-bit.
+    The 64-bit ``with_simhash`` (xxhash64, no explode) remains the
+    scale path; this variant exists so SimHash semantics are
+    oracle-gated end to end.
+
+    Shape: explode distinct tokens → 32 ±1 vote sums per doc (one
+    map-side-combinable aggregation) → sign fold into a 32-bit long.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    )
+    h = F.md5(F.col("tok"))
+    votes = toks.select(
+        id_col,
+        *[
+            F.when(F.substring(h, b + 1, 1) >= "8", F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias(f"v{b}")
+            for b in range(32)
+        ],
+    )
+    sums = votes.groupBy(id_col).agg(*[F.sum(f"v{b}").alias(f"v{b}") for b in range(32)])
+    fp = F.lit(0).cast("long")
+    for b in range(32):
+        fp = fp + F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sums.select(F.col(id_col), fp.alias("simhash32"))
+
+
+def simhash32_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Banded near-dup pairs over the portable 32-bit SimHash.
+
+    With ``max_hamming = n_bands - 1`` recall is EXACTLY 1 by the
+    pigeonhole principle (≤3 differing bits across 4 bands leaves
+    some 8-bit band untouched → bucket collision → candidate), so the
+    output is precisely *all* pairs at Hamming ≤ max_hamming — a
+    deterministic set the DuckDB oracle reproduces.
+    Output: (doc_a, doc_b, hamming)."""
+    width = 32 // n_bands
+    sh = with_simhash32_md5(docs, id_col=id_col, text_col=text_col)
+    bands = sh.select(
+        id_col,
+        "simhash32",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("simhash32"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash32", "band.band_idx", "band.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    hamming = F.bit_count(F.col("a.simhash32").bitwiseXOR(F.col("b.simhash32")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def simhash_neardup_pairs(

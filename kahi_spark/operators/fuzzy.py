@@ -45,6 +45,61 @@ def bigram_jaccard_expr(a: Column, b: Column) -> Column:
     return F.round(inter.cast("double") / union, 6)
 
 
+def _partial_ratio_py(x: str | None, y: str | None) -> float | None:
+    """fuzz.partial_ratio analogue (reference ``KahiDb.py:49-78``,
+    ``Scopus.py:268-287``): best SequenceMatcher ratio of the SHORTER
+    string against same-length windows of the longer, windows chosen
+    from the matching-block alignments (the classic fuzzywuzzy
+    algorithm). Substring-alignment scoring matters exactly for
+    short-vs-long comparisons (corresponding-author J6: a lone name
+    probed against a 'Correspondence Address' blob)."""
+    from difflib import SequenceMatcher
+
+    if x is None or y is None:
+        return None
+    s, longer = (x, y) if len(x) <= len(y) else (y, x)
+    s, longer = s.lower(), longer.lower()
+    if not s:
+        return 0.0
+    if s == longer:
+        return 1.0
+    best = 0.0
+    m = SequenceMatcher(None, s, longer, autojunk=False)
+    for i, j, _n in m.get_matching_blocks():
+        start = max(0, j - i)
+        window = longer[start : start + len(s)]
+        r = SequenceMatcher(None, s, window, autojunk=False).ratio()
+        if r > best:
+            best = r
+    return best
+
+
+@pandas_udf(T.DoubleType())
+def partial_ratio_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched substring-alignment scorer in [0, 1]."""
+    return pd.Series(
+        [_partial_ratio_py(x, y) for x, y in zip(a, b)], dtype="float64"
+    )
+
+
+@pandas_udf(T.DoubleType())
+def partial_token_set_ratio_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
+    """fuzz.partial_token_set_ratio analogue: partial_ratio over the
+    sorted-distinct-token renderings (tolerates both word reorder AND
+    one side being a fragment of the other — the loosest stage of the
+    reference's cascade, ``Scopus.py:268-287``)."""
+
+    def norm(s):
+        return " ".join(sorted(set(str(s).lower().split())))
+
+    def score(x, y):
+        if x is None or y is None:
+            return None
+        return _partial_ratio_py(norm(x), norm(y))
+
+    return pd.Series([score(x, y) for x, y in zip(a, b)], dtype="float64")
+
+
 @pandas_udf(T.DoubleType())
 def token_set_ratio_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow-batched token-set similarity (difflib-based stand-in for
@@ -93,6 +148,35 @@ def fuzzy_join(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def staged_fuzzy_cascade(
+    probes: DataFrame,
+    candidates: DataFrame,
+    block_cols: list[str],
+    probe_id: str,
+    cand_id: str,
+    stages: list[tuple[Column, float]],
+) -> DataFrame:
+    """The reference's STAGED fuzzy cascade (J6/J7: ``partial_ratio >
+    t1 → token_set_ratio > t2 → partial_token_set_ratio > t3``,
+    ``Scopus.py:268-287``, ``KahiParser.py:668-685``): each stage
+    resolves only the probes every earlier stage missed (anti-join),
+    using its own scorer Column and threshold; within a stage the
+    best candidate wins (W1). Returns (probe_id, cand_id, score,
+    stage). Cheap/strict scorers go first so expensive loose ones see
+    few probes — the Spark shape of the reference's short-circuit
+    ``or`` chain."""
+    resolved: DataFrame | None = None
+    remaining = probes
+    for i, (score, threshold) in enumerate(stages):
+        hits = fuzzy_join(
+            remaining, candidates, block_cols, probe_id, cand_id, score, threshold
+        ).select(probe_id, cand_id, "score", F.lit(i).alias("stage"))
+        resolved = hits if resolved is None else resolved.unionByName(hits)
+        remaining = remaining.join(hits.select(probe_id), on=probe_id, how="left_anti")
+    assert resolved is not None, "staged_fuzzy_cascade needs at least one stage"
+    return resolved
 
 
 def complement_merge(

@@ -8,8 +8,15 @@ CDC reframing: change events sometimes arrive with a NULL ``conv_id``
 side loop, the resolver is a blocked fuzzy join against the CURRENT
 TABLE STATE:
 
-1. block on ``turn_idx`` (the reference blocks on exact year,
-   ``KahiDb.py:84-86``) — candidates shrink to same-position turns;
+1. block CONJUNCTIVELY on ``turn_idx`` (the reference blocks on exact
+   year, ``KahiDb.py:84-86``) AND a text-length bucket — ``turn_idx``
+   alone is a ~25-value key, so at 10^10 rows each probe would compare
+   against ~4% of the table (O(N·M), the flaw the reference has);
+   the length bucket multiplies key cardinality by ~|len|/W while
+   keeping recall: a probe explodes to buckets {b-1, b, b+1}, so any
+   candidate within ``W`` chars of the probe's length still collides,
+   and a bigram-Jaccard ≥ mid match implies near-equal bigram-set
+   sizes (hence lengths within ~W for the thresholds used);
 2. score cleaned text by char-bigram Jaccard (JVM expression);
 3. staged cascade: a high bare-text threshold OR a medium threshold
    AND matching role (the reference's title≥90 OR (title≥80 AND
@@ -33,6 +40,14 @@ from pyspark.sql import functions as F
 from kahi_spark.operators.fuzzy import bigram_jaccard_expr, char_bigrams_expr
 
 
+#: length-bucket width for the conjunctive block key. A probe joins
+#: buckets {b-1, b, b+1}, so matches with |len(p)-len(c)| ≤ W always
+#: collide; wider gaps can't score ≥ the cascade thresholds anyway
+#: (bigram Jaccard ≥ 0.65 bounds the bigram-set size ratio ≥ 0.65,
+#: and cleaned near-dup texts have near-equal lengths).
+LEN_BUCKET_W = 16
+
+
 def resolve_keyless_events(
     events: DataFrame,
     state: DataFrame,
@@ -45,21 +60,26 @@ def resolve_keyless_events(
     keyed = events.filter(F.col("conv_id").isNotNull())
     keyless = events.filter(F.col("conv_id").isNull())
 
+    lb = (F.length(F.col("text")) / LEN_BUCKET_W).cast("int")
     probes = keyless.select(
         F.col("seq").alias("_p_seq"),
         F.col("turn_idx"),
         F.col("role").alias("_p_role"),
         char_bigrams_expr(F.col("text")).alias("_p_bg"),
+        # explode to adjacent buckets so the equi-join (hash-keyed on
+        # BOTH block columns) keeps recall across bucket boundaries
+        F.explode(F.array(lb - 1, lb, lb + 1)).alias("_lb"),
     )
     cands = state.select(
         F.col("conv_id").alias("_c_conv"),
         F.col("turn_idx"),
         F.col("role").alias("_c_role"),
         char_bigrams_expr(F.col("text")).alias("_c_bg"),
+        lb.alias("_lb"),
     )
     score = bigram_jaccard_expr(F.col("_p_bg"), F.col("_c_bg"))
     scored = (
-        probes.join(cands, on="turn_idx", how="inner")  # blocking key
+        probes.join(cands, on=["turn_idx", "_lb"], how="inner")  # conjunctive block
         .withColumn("_score", score)
         .filter(
             (F.col("_score") >= high)

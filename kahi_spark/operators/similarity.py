@@ -8,8 +8,19 @@
   probes join only their bucket (multi-probe over ``n_tables``
   tables). The scale path: at 10^9 vectors the bucket join touches
   a tiny corpus slice per probe instead of all of it.
+* ``lsh_cosine_pairs`` — near-dup pairs via the same LSH buckets:
+  candidates = pairs sharing any (table, bucket), then exact cosine
+  ≥ threshold on candidates only (never the N² cross product).
 * ``cosine_pairs`` — all-pairs cosine ≥ threshold over a bounded set
-  (embedding near-dup dedup).
+  (the small-scale exact verifier for ``lsh_cosine_pairs``).
+
+Hyperplanes are INTEGER-QUANTIZED (``lsh_planes``): plane components
+are ``round(gauss(0,1)·1000)`` ints and vectors quantize to
+``round(x·1000)`` longs, so the bucket of a vector is an integer dot
+product — bit-exact in any engine, which lets the DuckDB oracle
+mirror the bucketing literally (no float-summation-order risk).
+Quantization at 1e-3 granularity perturbs the hyperplane directions
+by ~1e-3 radians — immaterial to LSH quality.
 
 Scores are computed in double and rounded to 6 places so results are
 engine-portable; ties break by neighbor id (deterministic).
@@ -17,7 +28,9 @@ engine-portable; ties break by neighbor id (deterministic).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import random
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -67,13 +80,88 @@ def knn_bruteforce(
     )
 
 
+#: quantization scale for planes and vectors (see module docstring)
+LSH_SCALE = 1000
+
+
+def lsh_planes(
+    dim: int = 64, n_planes: int = 8, n_tables: int = 4, seed: int = 42
+) -> list[list[list[int]]]:
+    """Deterministic integer-quantized random hyperplanes
+    (``tables[t][pl][d]``), shared by the Spark bucket expressions AND
+    the DuckDB oracle generator so bucket assignment is bit-exact
+    across engines."""
+    rnd = random.Random(seed)
+    return [
+        [
+            [int(round(rnd.gauss(0, 1) * LSH_SCALE)) for _ in range(dim)]
+            for _ in range(n_planes)
+        ]
+        for _ in range(n_tables)
+    ]
+
+
+def quantize_expr(vec_double: Column) -> Column:
+    """double vector → long vector at 1e-3 granularity (both engines
+    round half away from zero for doubles)."""
+    return F.transform(vec_double, lambda x: F.round(x * LSH_SCALE).cast("long"))
+
+
+def _int_dot(q: Column, plane: list[int]) -> Column:
+    lits = F.array(*[F.lit(x).cast("long") for x in plane])
+    return F.aggregate(
+        F.zip_with(q, lits, lambda x, y: x * y), F.lit(0).cast("long"), lambda s, x: s + x
+    )
+
+
+def bucketed_lsh(
+    df: DataFrame,
+    planes: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefix: str = "probe",
+) -> DataFrame:
+    """(id, v, nrm) + one row per LSH table with the integer bucket
+    (sign bits of the quantized dot products)."""
+    n_tables = len(planes)
+    base = _with_norm(df, id_col, vec_col, prefix).withColumn(
+        "_q", quantize_expr(F.col(f"{prefix}_v"))
+    )
+
+    def bucket_expr(t: int) -> Column:
+        out = F.lit(0).cast("long")
+        for pl, plane in enumerate(planes[t]):
+            out = out + F.when(_int_dot(F.col("_q"), plane) > 0, F.lit(1 << pl)).otherwise(
+                F.lit(0)
+            )
+        return out
+
+    return (
+        base.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table_idx"), bucket_expr(t).alias("bucket")
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("b"),
+        )
+        .select("*", "b.table_idx", "b.bucket")
+        .drop("b", "_q")
+    )
+
+
 def knn_lsh(
     probes: DataFrame,
     corpus: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 12,
+    n_planes: int = 8,
     n_tables: int = 4,
     dim: int = 64,
     seed: int = 42,
@@ -81,55 +169,15 @@ def knn_lsh(
     """Approximate cosine top-k via random-hyperplane LSH.
 
     Each table hashes a vector to an ``n_planes``-bit bucket (sign of
-    dot with a random hyperplane). A probe only scores corpus vectors
-    sharing a bucket in ANY table. Recall grows with ``n_tables``;
-    cost per probe shrinks ~2^n_planes-fold vs brute force.
+    the quantized dot with a random hyperplane). A probe only scores
+    corpus vectors sharing a bucket in ANY table. Recall grows with
+    ``n_tables``; cost per probe shrinks ~2^n_planes-fold vs brute
+    force. Bucketing is integer-exact (see module docstring), so the
+    DuckDB oracle reproduces the candidate set literally.
     """
-    import random
-
-    rnd = random.Random(seed)
-    # deterministic hyperplanes as array literals (broadcast by value)
-    tables = [
-        [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
-        for _ in range(n_tables)
-    ]
-
-    def bucket_expr(vcol, t: int):
-        bits = [
-            F.when(
-                _dot(
-                    vcol,
-                    F.array(*[F.lit(x) for x in tables[t][pl]]),
-                )
-                > 0,
-                F.lit(1 << pl),
-            ).otherwise(F.lit(0))
-            for pl in range(n_planes)
-        ]
-        out = F.lit(0)
-        for b in bits:
-            out = out + b
-        return out
-
-    def bucketed(df: DataFrame, prefix: str) -> DataFrame:
-        base = _with_norm(df, id_col, vec_col, prefix)
-        return base.select(
-            "*",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("table_idx"),
-                            bucket_expr(F.col(f"{prefix}_v"), t).alias("bucket"),
-                        )
-                        for t in range(n_tables)
-                    ]
-                )
-            ).alias("b"),
-        ).select("*", "b.table_idx", "b.bucket").drop("b")
-
-    p = bucketed(probes, "probe")
-    c = bucketed(corpus, "neighbor")
+    planes = lsh_planes(dim, n_planes, n_tables, seed)
+    p = bucketed_lsh(probes, planes, id_col, vec_col, "probe")
+    c = bucketed_lsh(corpus, planes, id_col, vec_col, "neighbor")
     cand = (
         c.join(
             F.broadcast(p),
@@ -157,14 +205,65 @@ def knn_lsh(
     )
 
 
+def lsh_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via LSH bucket blocking: candidates = pairs
+    sharing any (table, bucket), exact cosine ≥ threshold computed on
+    candidates ONLY. The scale path for embedding dedup — at 10^9
+    vectors the bucket join replaces the N² cross product.
+
+    Recall is the LSH collision probability at the threshold angle
+    (P(bit equal) = 1 - θ/π per plane, ^n_planes per table, over
+    n_tables tables) — near 1 for true near-dups (cos ≥ 0.95),
+    deliberately partial at loose thresholds; the DuckDB oracle
+    mirrors the identical bucketing so the gate is exact regardless.
+    """
+    planes = lsh_planes(dim, n_planes, n_tables, seed)
+    b = bucketed_lsh(df, planes, id_col, vec_col, "x")
+    a = b.alias("a")
+    c = b.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.table_idx") == F.col("c.table_idx"))
+            & (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.x_id") < F.col("c.x_id")),
+        )
+        .select(
+            F.col("a.x_id").alias("id_a"),
+            F.col("a.x_v").alias("l_v"),
+            F.col("a.x_nrm").alias("l_nrm"),
+            F.col("c.x_id").alias("id_b"),
+            F.col("c.x_v").alias("r_v"),
+            F.col("c.x_nrm").alias("r_nrm"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    score = F.round(
+        _dot(F.col("l_v"), F.col("r_v")) / (F.col("l_nrm") * F.col("r_nrm")), 6
+    )
+    return cand.select("id_a", "id_b", score.alias("score")).filter(
+        F.col("score") >= threshold
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All-pairs cosine ≥ threshold (id_a < id_b). Quadratic — callers
-    bound the input or pre-block with ``knn_lsh`` buckets."""
+    """All-pairs cosine ≥ threshold (id_a < id_b). Quadratic — the
+    small-scale exact verifier; the scale path is
+    ``lsh_cosine_pairs`` (bucket-blocked candidates)."""
     a = _with_norm(df, id_col, vec_col, "l").withColumnRenamed("l_id", "id_a")
     b = _with_norm(df, id_col, vec_col, "r").withColumnRenamed("r_id", "id_b")
     score = F.round(

@@ -1,25 +1,37 @@
 """Per-source raw-feed normalizers (SURVEY.md P4/P5 — the Spark
 re-expression of Kahi's per-source parsers, ``KahiParser.py:136-206``
-dispatching to ``Lens.py``/``WebOfScience.py``/``Scopus.py``/…).
+dispatching to the seven source modules: ``Lens.py``,
+``WebOfScience.py``, ``Scopus.py``, ``Scielo.py:22``,
+``Scholar.py:13``, ``Oadoi/Oadoi.py:12``, ``Doaj/Doaj.py:12``).
 
 Each upstream feed delivers change records as JSON payloads in its
-own incompatible shape (FIXTURES.md §5). One ``from_json`` + select
-per source maps it to the canonical EVENT schema; the dispatcher is
-``unionByName`` over the per-source frames — Catalyst sees one plan,
-no per-record Python (the reference's ``if "lens" in data`` chains
-become DataFrame branches).
+own incompatible shape (FIXTURES.md §5). One ``from_json`` + struct
+expression per source maps it to the canonical EVENT shape; the
+dispatcher ``normalize_feeds`` is a single CASE-WHEN over the parsed
+per-source structs — ONE input scan regardless of fan-in (a
+union-of-filters shape re-reads the source once per feed: 7 feeds ×
+100 TB = 7 full passes; CASE branches evaluate lazily per row in
+whole-stage codegen, so each payload is parsed by exactly one
+branch).
 
 Feed shapes (transcript-flavored analogues of the reference's raw
 databases):
 
-* ``lens``-like  — nested JSON (reference Lens: nested dicts)
-* ``wos``-like   — flat 2-letter tag fields (reference WoS: TI/AB/PY…)
-* ``scopus``-like — human-readable CSV-export headers with spaces
+* ``lens``    — nested JSON (reference Lens: nested dicts)
+* ``wos``     — flat 2-letter tag fields (reference WoS: TI/AB/PY…)
+* ``scopus``  — human-readable CSV-export headers with spaces
+* ``scielo``  — Spanish field names, dd/MM/yyyy dates, ALTA/BAJA ops
+  (reference Scielo is the Latin-American feed)
+* ``scholar`` — cluster-keyed with epoch-millis timestamps
+* ``oadoi``   — enrichment feed: text-only updates (reference OADOI
+  adds open-access info to existing records)
+* ``doaj``    — enrichment feed: tool/journal metadata only
+  (reference DOAJ supplies journal metadata keyed by ISSN)
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -61,79 +73,255 @@ SCOPUS_PAYLOAD = T.StructType(
     ]
 )
 
+SCIELO_PAYLOAD = T.StructType(
+    [
+        T.StructField("codigo", T.StringType()),  # composite "sci:<conv>"
+        T.StructField("turno", T.StringType()),   # composite "T<k>"
+        T.StructField("papel", T.StringType()),
+        T.StructField("texto", T.StringType()),
+        T.StructField("herramienta", T.StringType()),
+        T.StructField("fecha", T.StringType()),   # dd/MM/yyyy HH:mm:ss
+        T.StructField("accion", T.StringType()),  # ALTA / CAMBIO / BAJA
+    ]
+)
 
-def normalize_lens(feed: DataFrame) -> DataFrame:
-    """Nested-JSON feed → canonical events (``Lens.py:13-143``)."""
-    p = F.from_json(F.col("payload"), LENS_PAYLOAD).alias("p")
-    return feed.select("seq", p).select(
-        "seq",
-        F.coalesce(F.col("p.operation"), F.lit("insert")).alias("op"),
-        F.col("p.conversation.id").alias("conv_id"),
-        F.col("p.conversation.turn").alias("turn_idx"),
-        F.col("p.speaker.role").alias("role"),
-        F.col("p.body").alias("text"),
-        F.col("p.tool.name").alias("tool"),
-        F.to_timestamp("p.sent_at").alias("ts"),
-        F.lit("lens").alias("source"),
+SCHOLAR_PAYLOAD = T.StructType(
+    [
+        T.StructField("cluster", T.StringType()),
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("who", T.StringType()),
+        T.StructField("snippet", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),     # epoch millis
+        T.StructField("verb", T.StringType()),    # add / mod / del
+    ]
+)
+
+OADOI_PAYLOAD = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("turn", T.IntegerType()),
+        T.StructField("oa_text", T.StringType()),
+        T.StructField("updated", T.StringType()),  # ISO-8601
+    ]
+)
+
+DOAJ_PAYLOAD = T.StructType(
+    [
+        T.StructField("conv", T.StringType()),
+        T.StructField("turn", T.IntegerType()),
+        T.StructField("tool_name", T.StringType()),
+        T.StructField("updated_epoch", T.LongType()),
+    ]
+)
+
+#: canonical event value fields emitted by every normalizer
+CANON_FIELDS = ("op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+def _canon(op, conv_id, turn_idx, role, text, tool, ts) -> Column:
+    """Force every branch to the identical struct schema (CASE-WHEN
+    branches must agree exactly)."""
+    return F.struct(
+        op.cast("string").alias("op"),
+        conv_id.cast("string").alias("conv_id"),
+        turn_idx.cast("int").alias("turn_idx"),
+        role.cast("string").alias("role"),
+        text.cast("string").alias("text"),
+        tool.cast("string").alias("tool"),
+        ts.cast("timestamp").alias("ts"),
     )
 
 
-def normalize_wos(feed: DataFrame) -> DataFrame:
-    """Flat-tag feed → canonical events (``WebOfScience.py:23-182``;
+def lens_struct(payload: Column) -> Column:
+    """Nested-JSON feed → canonical struct (``Lens.py:13-143``)."""
+    p = F.from_json(payload, LENS_PAYLOAD)
+    return _canon(
+        F.coalesce(p["operation"], F.lit("insert")),
+        p["conversation"]["id"],
+        p["conversation"]["turn"],
+        p["speaker"]["role"],
+        p["body"],
+        p["tool"]["name"],
+        F.to_timestamp(p["sent_at"]),
+    )
+
+
+def wos_struct(payload: Column) -> Column:
+    """Flat-tag feed → canonical struct (``WebOfScience.py:23-182``;
     composite id split per F15, ``WebOfScience.py:163``)."""
-    p = F.from_json(F.col("payload"), WOS_PAYLOAD).alias("p")
+    p = F.from_json(payload, WOS_PAYLOAD)
     op = (
-        F.when(F.col("p.OP") == "D", "delete")
-        .when(F.col("p.OP") == "U", "update")
+        F.when(p["OP"] == "D", "delete")
+        .when(p["OP"] == "U", "update")
         .otherwise("insert")
     )
-    return feed.select("seq", p).select(
-        "seq",
-        op.alias("op"),
-        F.element_at(F.split(F.col("p.CI"), ":"), -1).alias("conv_id"),
-        F.col("p.TI").alias("turn_idx"),
-        F.col("p.RO").alias("role"),
-        F.col("p.TX").alias("text"),
-        F.col("p.TL").alias("tool"),
-        F.timestamp_seconds(F.col("p.TS")).alias("ts"),
-        F.lit("wos").alias("source"),
+    return _canon(
+        op,
+        F.element_at(F.split(p["CI"], ":"), -1),
+        p["TI"],
+        p["RO"],
+        p["TX"],
+        p["TL"],
+        F.timestamp_seconds(p["TS"]),
     )
 
 
-def normalize_scopus(feed: DataFrame) -> DataFrame:
-    """CSV-export-header feed → canonical events
+def scopus_struct(payload: Column) -> Column:
+    """CSV-export-header feed → canonical struct
     (``Scopus.py:17-157``; stringly ints use the F8 safe cast)."""
     from kahi_spark.functions.scalars import safe_int_expr
 
-    p = F.from_json(F.col("payload"), SCOPUS_PAYLOAD).alias("p")
-    return feed.select("seq", p).select(
-        "seq",
-        F.lower(F.coalesce(F.col("p.Op"), F.lit("insert"))).alias("op"),
-        F.col("p.`Conv Id`").alias("conv_id"),
-        safe_int_expr(F.col("p.Turn")).alias("turn_idx"),
-        F.col("p.Role").alias("role"),
-        F.col("p.Text").alias("text"),
-        F.col("p.Tool").alias("tool"),
-        F.to_timestamp("p.Timestamp").alias("ts"),
-        F.lit("scopus").alias("source"),
+    p = F.from_json(payload, SCOPUS_PAYLOAD)
+    return _canon(
+        F.lower(F.coalesce(p["Op"], F.lit("insert"))),
+        p["Conv Id"],
+        safe_int_expr(p["Turn"]),
+        p["Role"],
+        p["Text"],
+        p["Tool"],
+        F.to_timestamp(p["Timestamp"]),
     )
 
 
-NORMALIZERS = {
-    "lens": normalize_lens,
-    "wos": normalize_wos,
-    "scopus": normalize_scopus,
+def scielo_struct(payload: Column) -> Column:
+    """Spanish-keyed feed → canonical struct (``Scielo.py:22-146``:
+    field-name translation, op vocabulary map, dd/MM/yyyy dates,
+    composite 'T<k>' turn per F15)."""
+    p = F.from_json(payload, SCIELO_PAYLOAD)
+    op = (
+        F.when(p["accion"] == "BAJA", "delete")
+        .when(p["accion"] == "CAMBIO", "update")
+        .otherwise("insert")
+    )
+    return _canon(
+        op,
+        F.element_at(F.split(p["codigo"], ":"), -1),
+        F.substring(p["turno"], 2, 10).try_cast("int"),
+        p["papel"],
+        p["texto"],
+        p["herramienta"],
+        F.to_timestamp(p["fecha"], "dd/MM/yyyy HH:mm:ss"),
+    )
+
+
+def scholar_struct(payload: Column) -> Column:
+    """Cluster-keyed feed → canonical struct (``Scholar.py:13-125``;
+    epoch-millis timestamps)."""
+    p = F.from_json(payload, SCHOLAR_PAYLOAD)
+    op = (
+        F.when(p["verb"] == "del", "delete")
+        .when(p["verb"] == "mod", "update")
+        .otherwise("insert")
+    )
+    return _canon(
+        op,
+        p["cluster"],
+        p["pos"],
+        p["who"],
+        p["snippet"],
+        F.lit(None),
+        F.timestamp_millis(p["ts_ms"]),
+    )
+
+
+def oadoi_struct(payload: Column) -> Column:
+    """Enrichment feed: text-only UPDATE events (``Oadoi.py:12-60``:
+    OADOI never creates records, it enriches existing ones — op is
+    always update; the merge layer's fill policies decide what
+    lands)."""
+    p = F.from_json(payload, OADOI_PAYLOAD)
+    return _canon(
+        F.lit("update"),
+        p["id"],
+        p["turn"],
+        F.lit(None),
+        p["oa_text"],
+        F.lit(None),
+        F.to_timestamp(p["updated"]),
+    )
+
+
+def doaj_struct(payload: Column) -> Column:
+    """Enrichment feed: tool-metadata-only UPDATE events
+    (``Doaj.py:12-58``: DOAJ supplies journal metadata for existing
+    serials — here, tool annotations for existing turns)."""
+    p = F.from_json(payload, DOAJ_PAYLOAD)
+    return _canon(
+        F.lit("update"),
+        p["conv"],
+        p["turn"],
+        F.lit(None),
+        F.lit(None),
+        p["tool_name"],
+        F.timestamp_seconds(p["updated_epoch"]),
+    )
+
+
+STRUCTS = {
+    "lens": lens_struct,
+    "wos": wos_struct,
+    "scopus": scopus_struct,
+    "scielo": scielo_struct,
+    "scholar": scholar_struct,
+    "oadoi": oadoi_struct,
+    "doaj": doaj_struct,
 }
 
 
+def _from_struct(feed: DataFrame, src: str) -> DataFrame:
+    s = STRUCTS[src](F.col("payload"))
+    return feed.select("seq", s.alias("_c")).select(
+        "seq", *[F.col(f"_c.{f}").alias(f) for f in CANON_FIELDS], F.lit(src).alias("source")
+    )
+
+
+def normalize_lens(feed: DataFrame) -> DataFrame:
+    return _from_struct(feed, "lens")
+
+
+def normalize_wos(feed: DataFrame) -> DataFrame:
+    return _from_struct(feed, "wos")
+
+
+def normalize_scopus(feed: DataFrame) -> DataFrame:
+    return _from_struct(feed, "scopus")
+
+
+def normalize_scielo(feed: DataFrame) -> DataFrame:
+    return _from_struct(feed, "scielo")
+
+
+def normalize_scholar(feed: DataFrame) -> DataFrame:
+    return _from_struct(feed, "scholar")
+
+
+def normalize_oadoi(feed: DataFrame) -> DataFrame:
+    return _from_struct(feed, "oadoi")
+
+
+def normalize_doaj(feed: DataFrame) -> DataFrame:
+    return _from_struct(feed, "doaj")
+
+
+NORMALIZERS = {src: (lambda f, s=src: _from_struct(f, s)) for src in STRUCTS}
+
+
 def normalize_feeds(feed: DataFrame) -> DataFrame:
-    """P5 dispatch: route each record to its source's normalizer and
-    union the canonical outputs. ``feed`` has (seq, source, payload).
-    """
-    parts = [
-        fn(feed.filter(F.col("source") == src)) for src, fn in NORMALIZERS.items()
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    """P5 dispatch in ONE scan: a CASE-WHEN over the per-source parsed
+    structs. ``feed`` has (seq, source, payload). Unknown sources
+    yield a NULL struct (dropped — the reference skips unparseable
+    records too)."""
+    expr: Column | None = None
+    for src, fn in STRUCTS.items():
+        branch = fn(F.col("payload"))
+        expr = (
+            F.when(F.col("source") == src, branch)
+            if expr is None
+            else expr.when(F.col("source") == src, branch)
+        )
+    assert expr is not None
+    return (
+        feed.select("seq", "source", expr.alias("_c"))
+        .filter(F.col("_c").isNotNull())
+        .select("seq", *[F.col(f"_c.{f}").alias(f) for f in CANON_FIELDS], "source")
+    )
