@@ -271,26 +271,32 @@ def with_simhash(
 def with_simhash32_md5(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """PORTABLE 32-bit SimHash: per distinct token, bit b of the
-    fingerprint votes +1 iff hex digit b of ``md5(token)`` is ≥ '8'
-    (the digit's top bit) — md5 renders identically in Spark and
-    DuckDB, so the oracle can mirror the fingerprint bit-for-bit.
-    The 64-bit ``with_simhash`` (xxhash64, no explode) remains the
-    scale path; this variant exists so SimHash semantics are
-    oracle-gated end to end.
+    """PORTABLE 32-bit SimHash over distinct word-3gram SHINGLES: per
+    shingle, bit b of the fingerprint votes +1 iff hex digit b of
+    ``md5(shingle)`` is ≥ '8' (the digit's top bit) — md5 renders
+    identically in Spark and DuckDB, so the oracle can mirror the
+    fingerprint bit-for-bit. Shingle features (not bare tokens): on a
+    small-vocabulary corpus every document contains nearly the same
+    token SET, so token-level SimHash cannot discriminate; 3-gram
+    shingles restore the feature diversity SimHash needs. The 64-bit
+    ``with_simhash`` (xxhash64, no explode) remains the scale path;
+    this variant exists so SimHash semantics are oracle-gated end to
+    end.
 
-    Shape: explode distinct tokens → 32 ±1 vote sums per doc (one
+    Shape: explode distinct shingles → 32 ±1 vote sums per doc (one
     map-side-combinable aggregation) → sign fold into a 32-bit long.
     """
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    toks = shingle_df(docs, id_col=id_col, text_col=text_col, n=3).withColumnRenamed(
+        "shingle", "tok"
     )
-    h = F.md5(F.col("tok"))
-    votes = toks.select(
+    # md5 materialized in its own select: referencing F.md5(tok) in all
+    # 32 vote expressions would re-hash the shingle 32× per row
+    # (CollapseProject keeps cheap aliases inline; md5 is not cheap)
+    hashed = toks.select(id_col, F.md5(F.col("tok")).alias("h"))
+    votes = hashed.select(
         id_col,
         *[
-            F.when(F.substring(h, b + 1, 1) >= "8", F.lit(1))
+            F.when(F.substring(F.col("h"), b + 1, 1) >= "8", F.lit(1))
             .otherwise(F.lit(-1))
             .alias(f"v{b}")
             for b in range(32)

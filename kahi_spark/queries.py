@@ -16,37 +16,17 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kahi_spark.functions.roles import role_case_sql
 from kahi_spark.operators.merge import (
     latest_change_per_key,
     normalize_events,
     priority_merge,
     reduce_events_to_state,
 )
-from kahi_spark.sources.events import derive_events_duckdb_sql, derive_transcript_events
-
-# ---------------------------------------------------------------------------
-# shared SQL fragments (oracle side) — semantics mirror the Spark exprs
-# ---------------------------------------------------------------------------
-
-# clean_text_expr parity: TeX strip, markup strip, ws collapse, trim.
-# Raw string: DuckDB string literals do no escape processing, so the
-# SQL must carry a doubled backslash for RE2 to see an escaped '\'.
-_CLEAN_SQL = (
-    r"trim(regexp_replace(regexp_replace(regexp_replace("
-    r"{col}, '\\[a-zA-Z]+', '', 'g'), '[$_^{{}}]', '', 'g'), '\s+', ' ', 'g'))"
+from kahi_spark.sources.events import (
+    derive_events_duckdb_sql,
+    derive_transcript_events,
+    norm_events_cte as _norm_events_cte,
 )
-
-def _norm_events_cte() -> str:
-    return (
-        "WITH ev AS ("
-        + derive_events_duckdb_sql("events")
-        + "),\nnorm AS (\n    SELECT seq, op, conv_id, turn_idx,\n           "
-        + role_case_sql("role")
-        + " AS role,\n           "
-        + _CLEAN_SQL.format(col="text")
-        + " AS text,\n           tool, ts, source\n    FROM ev\n)\n"
-    )
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -500,17 +480,28 @@ FROM documents GROUP BY 1
 # ---------------------------------------------------------------------------
 
 
+#: stop-shingle document-frequency cap for the gated n-gram query.
+#: Measured max df is 25 at sf0.1 (9 at sf0.001), so 64 leaves these
+#: datasets untouched while bounding the self-join blowup on skewed
+#: corpora (one boilerplate shingle in d docs would contribute d²
+#: join rows). The oracle mirrors the cap exactly.
+NGRAM_MAX_DF = 64
+
+
 def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-3gram Jaccard ≥ 0.8 (J3 fuzzy-join
     family): shingle equi-join as the blocking step — the cross
-    product never materializes, only shingle-sharing pairs do."""
+    product never materializes, only shingle-sharing pairs do.
+    Shingles with document frequency > NGRAM_MAX_DF are dropped
+    before the self-join (hot-shingle quadratic-blowup guard; see
+    ``jaccard_pairs`` for the bounded-error argument)."""
     from kahi_spark.operators.dedup import jaccard_pairs, shingle_df
 
     docs = _read(spark, sf_dir, "documents")
-    return jaccard_pairs(shingle_df(docs), threshold=0.8)
+    return jaccard_pairs(shingle_df(docs), threshold=0.8, max_df=NGRAM_MAX_DF)
 
 
-ORACLE_NGRAM_JACCARD = """
+_SHINGLE_CTE = """
 WITH s AS (
     SELECT doc_id,
            list_distinct([
@@ -520,7 +511,12 @@ WITH s AS (
                for i in range(1, len(string_split(text,' ')) - 1)
            ]) AS sh
     FROM documents
-),
+)"""
+
+# uncapped variant — the exact-verification oracle for minhash LSH
+ORACLE_NGRAM_JACCARD_UNCAPPED = (
+    _SHINGLE_CTE
+    + """,
 e AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS n FROM s),
 pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -533,6 +529,34 @@ SELECT doc_a, doc_b,
 FROM pairs
 WHERE round(common::DOUBLE / (na + nb - common), 6) >= 0.8
 """
+)
+
+# capped variant — mirrors jaccard_pairs(max_df=NGRAM_MAX_DF): both
+# the intersection and the per-doc set sizes use the rare-shingle
+# subsets
+ORACLE_NGRAM_JACCARD = (
+    _SHINGLE_CTE
+    + f""",
+e0 AS (SELECT doc_id, unnest(sh) AS g FROM s),
+kept AS (
+    SELECT doc_id, g FROM (
+        SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM e0
+    ) WHERE df <= {NGRAM_MAX_DF}
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+    FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(common::DOUBLE / (ca.n + cb.n - common), 6) AS jaccard
+FROM pairs
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_b
+WHERE round(common::DOUBLE / (ca.n + cb.n - common), 6) >= 0.8
+"""
+)
 
 
 def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -587,10 +611,13 @@ SELECT probe_id, neighbor_id, rank, score FROM ranked WHERE rank <= 5
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs over a bounded probe set."""
+    """Embedding-cosine near-dup pairs over the FULL table — the
+    exact quadratic verifier (no caps). The scale path is
+    ``embedding_neardup_lsh`` (bucket-blocked candidates; see
+    queries_ext), verified against this output at test scale."""
     from kahi_spark.operators.similarity import cosine_pairs
 
-    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    emb = _read(spark, sf_dir, "embeddings")
     return cosine_pairs(emb, threshold=0.4)
 
 
@@ -599,7 +626,7 @@ WITH e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
            sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS nrm
-    FROM embeddings WHERE vec_id < 100
+    FROM embeddings
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS score
@@ -841,7 +868,9 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "ngram_jaccard_neardup": ORACLE_NGRAM_JACCARD,
-    "minhash_lsh_neardup": ORACLE_NGRAM_JACCARD,  # LSH output == brute force
+    # LSH + exact verify == uncapped brute force (recall math in the
+    # q_minhash_lsh_neardup docstring)
+    "minhash_lsh_neardup": ORACLE_NGRAM_JACCARD_UNCAPPED,
     "knn_cosine": ORACLE_KNN_COSINE,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "fuzzy_title_match": ORACLE_FUZZY_TITLE_MATCH,
@@ -851,3 +880,10 @@ ORACLES: dict[str, str] = {
     "cube_revenue": ORACLE_CUBE_REVENUE,
     "distinct_users": ORACLE_DISTINCT_USERS,
 }
+
+# round-2 extension: gated entries for every operator that was
+# pytest-only in round 1 (see kahi_spark/queries_ext.py)
+from kahi_spark.queries_ext import ORACLES_EXT, QUERIES_EXT  # noqa: E402
+
+QUERIES.update(QUERIES_EXT)
+ORACLES.update(ORACLES_EXT)

@@ -63,6 +63,33 @@ def derive_events_duckdb_sql(events_view: str = "events") -> str:
     return DERIVE_EVENTS_SQL.format(events=events_view)
 
 
+# clean_text_expr parity fragment: TeX strip, markup strip, ws
+# collapse, trim. Raw string: DuckDB string literals do no escape
+# processing, so the SQL must carry a doubled backslash for RE2 to
+# see an escaped '\'.
+CLEAN_TEXT_SQL = (
+    r"trim(regexp_replace(regexp_replace(regexp_replace("
+    r"{col}, '\\[a-zA-Z]+', '', 'g'), '[$_^{{}}]', '', 'g'), '\s+', ' ', 'g'))"
+)
+
+
+def norm_events_cte() -> str:
+    """derive + normalize (role canonicalization F11, text cleaning
+    F7) as a shared oracle CTE prefix — the SQL mirror of
+    ``normalize_events(derive_transcript_events(...))``."""
+    from kahi_spark.functions.roles import role_case_sql
+
+    return (
+        "WITH ev AS ("
+        + derive_events_duckdb_sql("events")
+        + "),\nnorm AS (\n    SELECT seq, op, conv_id, turn_idx,\n           "
+        + role_case_sql("role")
+        + " AS role,\n           "
+        + CLEAN_TEXT_SQL.format(col="text")
+        + " AS text,\n           tool, ts, source\n    FROM ev\n)\n"
+    )
+
+
 def read_event_log(spark: SparkSession, path: str) -> DataFrame:
     """Batch scan of the Parquet binlog directory (SURVEY.md S1)."""
     return spark.read.schema(EVENT_SCHEMA).option("mergeSchema", "true").parquet(path)
