@@ -47,6 +47,11 @@ HEADLINE = [
     "ngram_jaccard_neardup",
     "minhash_lsh_neardup",
     "knn_cosine",
+    # round 2: 7-feed convergence, keyless resolver, LSH scale paths
+    "multisource_convergence",
+    "keyless_resolution",
+    "embedding_neardup_lsh",
+    "simhash_neardup",
 ]
 
 

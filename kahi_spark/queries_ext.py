@@ -412,6 +412,34 @@ def _build_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("seq", src.alias("source"), pay.alias("payload"))
 
 
+#: bump when _build_feed's payload shapes change (invalidates the cache)
+_FEED_CACHE_VER = 2
+
+
+def _feed_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the constructed feed to parquet once per sf (a
+    real deployment reads payload bytes from Kafka/object storage —
+    and composing the 7-branch serialize CASE directly under the
+    7-branch parse CASE builds a 49-way expression tree that blows
+    codegen out to interpreted evaluation: observed >30× slowdown at
+    sf0.1). Deterministic content; atomic rename for concurrent
+    builders."""
+    import shutil
+    import uuid
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = f"/tmp/kahi_feed_cache_v{_FEED_CACHE_VER}/{sf_tag}"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.build-{uuid.uuid4().hex}"
+        _build_feed(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
 def q_rawfeeds_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4/P5/F18: serialize each event into its source's payload
     shape, then run the ONE-SCAN dispatcher (``normalize_feeds`` —
@@ -422,7 +450,8 @@ def q_rawfeeds_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks the gate."""
     from kahi_spark.sources.rawfeeds import normalize_feeds
 
-    norm = normalize_feeds(_build_feed(spark, sf_dir))
+    feed = spark.read.parquet(_feed_path(spark, sf_dir))
+    norm = normalize_feeds(feed)
     return norm.select(
         "seq",
         "source",
@@ -468,7 +497,7 @@ def q_multisource_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kahi_spark.operators.merge import priority_merge
     from kahi_spark.sources.rawfeeds import normalize_feeds
 
-    norm = normalize_feeds(_build_feed(spark, sf_dir))
+    norm = normalize_feeds(spark.read.parquet(_feed_path(spark, sf_dir)))
     merged = priority_merge(
         norm, value_cols=["role", "text", "tool"], priority=_FEED_SOURCES
     )
