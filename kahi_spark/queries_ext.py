@@ -882,6 +882,44 @@ SELECT * FROM h0 UNION ALL SELECT * FROM h1
 """
 
 
+def q_corresponding_author(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: the reference's corresponding-author cascade with the REAL
+    pandas scorer family (``Scopus.py:268-287``: partial_ratio>90 →
+    token_set>90 → partial_token_set>90) — a short author name probed
+    against 'Correspondence Address' blobs. difflib scoring is
+    deterministic but not SQL-expressible, so this entry is
+    rows-only-gated; cross-engine-exact cascade semantics are gated
+    via ``fuzzy_staged_cascade`` (JVM scorer)."""
+    from kahi_spark.operators.fuzzy import (
+        partial_ratio_pandas,
+        partial_token_set_ratio_pandas,
+        staged_fuzzy_cascade,
+        token_set_ratio_pandas,
+    )
+
+    cust = _read(spark, sf_dir, "customer")
+    name = F.lower(F.concat(F.col("c_mktsegment"), F.lit(" "), F.col("c_name")))
+    probes = cust.filter(F.col("c_custkey") < 40).select(
+        F.col("c_custkey").alias("probe_id"),
+        F.col("c_nationkey").alias("blk"),
+        name.alias("p_name"),
+    )
+    cands = cust.select(
+        (F.col("c_custkey") + 1_000_000).alias("cand_id"),
+        F.col("c_nationkey").alias("blk"),
+        F.concat(
+            F.lit("email: "), name, F.lit(", office "), F.col("c_custkey").cast("string")
+        ).alias("c_addr"),
+    )
+    stages = [
+        (partial_ratio_pandas(F.col("p_name"), F.col("c_addr")), 0.9),
+        (token_set_ratio_pandas(F.col("p_name"), F.col("c_addr")), 0.9),
+        (partial_token_set_ratio_pandas(F.col("p_name"), F.col("c_addr")), 0.9),
+    ]
+    out = staged_fuzzy_cascade(probes, cands, ["blk"], "probe_id", "cand_id", stages)
+    return out.select("probe_id", "cand_id", F.round("score", 6).alias("score"), "stage")
+
+
 # ---------------------------------------------------------------------------
 # SimHash banding (portable md5 32-bit variant, recall-1 pigeonhole)
 # ---------------------------------------------------------------------------
@@ -1069,6 +1107,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "csv_worklist_pending": q_csv_worklist_pending,
     "keyless_resolution": q_keyless_resolution,
     "fuzzy_staged_cascade": q_fuzzy_staged_cascade,
+    "corresponding_author": q_corresponding_author,
     "simhash_neardup": q_simhash_neardup,
     "knn_lsh": q_knn_lsh,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
