@@ -7,15 +7,20 @@ from kahi_spark.operators.dedup import (
     minhash_lsh_pairs,
     minhash_signatures,
     shingle_df,
+    simhash32_neardup_pairs,
     simhash_neardup_pairs,
     verify_jaccard,
     with_simhash,
+    with_simhash32_md5,
 )
 from kahi_spark.operators.fuzzy import (
     bigram_jaccard_expr,
     char_bigrams_expr,
     complement_merge,
     fuzzy_join,
+    partial_ratio_pandas,
+    partial_token_set_ratio_pandas,
+    staged_fuzzy_cascade,
     token_set_ratio_pandas,
 )
 from kahi_spark.operators.keyless import resolve_keyless_events
@@ -27,7 +32,13 @@ from kahi_spark.operators.merge import (
     priority_merge,
     reduce_events_to_state,
 )
-from kahi_spark.operators.similarity import cosine_pairs, knn_bruteforce, knn_lsh
+from kahi_spark.operators.similarity import (
+    cosine_pairs,
+    knn_bruteforce,
+    knn_lsh,
+    lsh_cosine_pairs,
+    lsh_planes,
+)
 
 __all__ = [
     "align_positional_lists",
@@ -36,13 +47,18 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_signatures",
     "shingle_df",
+    "simhash32_neardup_pairs",
     "simhash_neardup_pairs",
     "verify_jaccard",
     "with_simhash",
+    "with_simhash32_md5",
     "bigram_jaccard_expr",
     "char_bigrams_expr",
     "complement_merge",
     "fuzzy_join",
+    "partial_ratio_pandas",
+    "partial_token_set_ratio_pandas",
+    "staged_fuzzy_cascade",
     "token_set_ratio_pandas",
     "resolve_keyless_events",
     "explode_keys",
@@ -55,4 +71,6 @@ __all__ = [
     "cosine_pairs",
     "knn_bruteforce",
     "knn_lsh",
+    "lsh_cosine_pairs",
+    "lsh_planes",
 ]

@@ -1079,6 +1079,77 @@ WHERE round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.4
 
 
 # ---------------------------------------------------------------------------
+# Text analysis (training-data ops): BPE-ish tokenization + quality
+# ---------------------------------------------------------------------------
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+#: marks — the split shape byte-pair encoders start from. RE2-safe and
+#: identical in Spark (Java regex) and DuckDB (RE2).
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+_STOPWORDS = ("the", "and", "of", "a", "to", "in")
+
+
+def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish: regex pre-tokenization (letter runs /
+    digit runs / punctuation marks) vs whitespace tokens — the two
+    counts a training-data pipeline tracks per document."""
+    docs = _read(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    bpe = F.regexp_extract_all(low, F.lit(_BPE_RE), 0)
+    ws = F.split(F.trim(low), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(ws).alias("n_ws_tokens"),
+        F.size(F.array_distinct(bpe)).alias("n_bpe_distinct"),
+    )
+
+
+ORACLE_TOKEN_BPE = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS n_bpe_tokens,
+       len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_ws_tokens,
+       len(list_distinct(regexp_extract_all(lower(text), '{_BPE_RE}'))) AS n_bpe_distinct
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals: length, punctuation-character ratio,
+    stopword-token ratio (the filters a pretraining pipeline gates
+    on). Pure JVM expressions; ratios rounded to 6 on both sides."""
+    docs = _read(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    n_chars = F.length(low)
+    n_punct = n_chars - F.length(F.regexp_replace(low, r"[^a-z0-9\s]", ""))
+    toks = F.split(F.trim(low), r"\s+")
+    sw = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        F.round(n_punct.cast("double") / n_chars, 6).alias("punct_ratio"),
+        F.round(sw.cast("double") / F.size(toks), 6).alias("stopword_ratio"),
+    )
+
+
+_SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+ORACLE_QUALITY_SCORE = f"""
+SELECT doc_id,
+       length(lower(text)) AS n_chars,
+       round((length(lower(text)) -
+              length(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')))::DOUBLE
+             / length(lower(text)), 6) AS punct_ratio,
+       round(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             x -> x IN ({_SW_SQL})))::DOUBLE
+             / len(regexp_split_to_array(trim(lower(text)), '\\s+')), 6)
+           AS stopword_ratio
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # §2.9.5: multimodal decode (mapInPandas; rows-only — binary decode
 # is not SQL-expressible, the driver records the weaker check)
 # ---------------------------------------------------------------------------
@@ -1108,6 +1179,8 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "keyless_resolution": q_keyless_resolution,
     "fuzzy_staged_cascade": q_fuzzy_staged_cascade,
     "corresponding_author": q_corresponding_author,
+    "token_bpe": q_token_bpe,
+    "quality_score": q_quality_score,
     "simhash_neardup": q_simhash_neardup,
     "knn_lsh": q_knn_lsh,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1126,6 +1199,8 @@ ORACLES_EXT: dict[str, str] = {
     "csv_worklist_pending": ORACLE_CSV_WORKLIST,
     "keyless_resolution": _oracle_keyless(),
     "fuzzy_staged_cascade": ORACLE_FUZZY_CASCADE,
+    "token_bpe": ORACLE_TOKEN_BPE,
+    "quality_score": ORACLE_QUALITY_SCORE,
     "simhash_neardup": _oracle_simhash(),
     "knn_lsh": _oracle_knn_lsh(),
     "embedding_neardup_lsh": _oracle_neardup_lsh(),
