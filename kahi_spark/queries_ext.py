@@ -1079,6 +1079,79 @@ WHERE round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.4
 
 
 # ---------------------------------------------------------------------------
+# §2.8 session windows: Spark's NATIVE session_window operator
+# ---------------------------------------------------------------------------
+
+
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in ``session_window`` (the streaming-capable
+    session operator — same expression works under ``readStream`` +
+    watermark). Oracle = gaps-and-islands SQL with the SAME boundary
+    rule: Spark session windows are half-open ``[ts, ts+gap)``, so an
+    event arriving at EXACTLY the gap starts a new session (hence
+    ``>=`` in the oracle, where the hand-rolled ``sessionize_events``
+    uses ``>``)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+            F.min("ts").alias("_start"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("_start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+ORACLE_SESSION_WINDOW = """
+WITH g AS (
+    SELECT *,
+           CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) >= 1800
+                  OR lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_start
+    FROM events
+),
+s AS (
+    SELECT *, CAST(sum(is_start) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM g
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 4) AS session_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 set ops: INTERSECT (customers in the BUILDING segment who
+    actually placed orders)."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    ordered = orders.select(F.col("o_custkey").alias("custkey"))
+    return building.intersect(ordered)
+
+
+ORACLE_INTERSECT = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
 # Text analysis (training-data ops): BPE-ish tokenization + quality
 # ---------------------------------------------------------------------------
 
@@ -1179,6 +1252,8 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "keyless_resolution": q_keyless_resolution,
     "fuzzy_staged_cascade": q_fuzzy_staged_cascade,
     "corresponding_author": q_corresponding_author,
+    "session_window_native": q_session_window_native,
+    "intersect_custkeys": q_intersect_custkeys,
     "token_bpe": q_token_bpe,
     "quality_score": q_quality_score,
     "simhash_neardup": q_simhash_neardup,
@@ -1199,6 +1274,8 @@ ORACLES_EXT: dict[str, str] = {
     "csv_worklist_pending": ORACLE_CSV_WORKLIST,
     "keyless_resolution": _oracle_keyless(),
     "fuzzy_staged_cascade": ORACLE_FUZZY_CASCADE,
+    "session_window_native": ORACLE_SESSION_WINDOW,
+    "intersect_custkeys": ORACLE_INTERSECT,
     "token_bpe": ORACLE_TOKEN_BPE,
     "quality_score": ORACLE_QUALITY_SCORE,
     "simhash_neardup": _oracle_simhash(),
