@@ -118,6 +118,98 @@ def token_set_ratio_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([score(x, y) for x, y in zip(a, b)], dtype="float64")
 
 
+def _ratio_py(x: str, y: str) -> float:
+    from difflib import SequenceMatcher
+
+    return SequenceMatcher(None, x, y, autojunk=False).ratio()
+
+
+def _fold_parse(s: str) -> str:
+    """The reference's ``parse_string`` (``KahiDb.py:18-21``):
+    lowercase, accent fold (unidecode ≈ NFKD combining-mark strip),
+    TeX-command strip, ``$ _ ^`` removal."""
+    import re
+    import unicodedata
+
+    s = "".join(
+        ch for ch in unicodedata.normalize("NFKD", s.lower()) if not unicodedata.combining(ch)
+    )
+    return re.sub(r"[\$_\^]", "", re.sub(r"\\\w+", "", s))
+
+
+def colav_similarity_py(
+    t1: str | None,
+    t2: str | None,
+    j1: str | None,
+    j2: str | None,
+    y1: int | None,
+    y2: int | None,
+    ratio_t: float = 0.90,
+    partial_t: float = 0.95,
+    low_t: float = 0.80,
+) -> bool:
+    """Faithful re-expression of the reference's FULL similarity
+    decision cascade (``colav_similarity``/``__colav_similarity``,
+    ``KahiDb.py:23-110``), thresholds in [0, 1]:
+
+    1. journal check: partial_ratio(journals) > ratio_t;
+       year check: equality; length check: both titles > 3 words;
+    2. short titles with no journal+year corroboration → reject;
+    3. direct ratio > ratio_t (long titles) → match;
+    4. multi-language bracket variants: split titles on '[', and if
+       every variant is non-trivial (>10 chars), any variant pair
+       with ratio > ratio_t matches; else any with partial_ratio >
+       partial_t, or > low_t when journal AND year corroborate;
+    5. fallback: whole-title partial_ratio > partial_t (long titles),
+       or > low_t with journal+year corroboration.
+    """
+    if not t1 or not t2:
+        return False
+    t1, t2 = _fold_parse(t1), _fold_parse(t2)
+    journal_check = bool(
+        j1 and j2 and _partial_ratio_py(j1.lower(), j2.lower()) > ratio_t
+    )
+    year_check = y1 is not None and y2 is not None and int(y1) == int(y2)
+    length_check = len(t1.split()) > 3 and len(t2.split()) > 3
+    if not length_check and (not journal_check or not year_check):
+        return False
+    if length_check and _ratio_py(t1, t2) > ratio_t:
+        return True
+    l1, l2 = t1.split("["), t2.split("[")
+    if min(len(v) for v in l1) > 10 and min(len(v) for v in l2) > 10:
+        for v in l1:
+            if max(_ratio_py(v, w) for w in l2) > ratio_t:
+                return True
+        best = max(_partial_ratio_py(v, w) for v in l1 for w in l2)
+        if best > partial_t:
+            return True
+        if best > low_t and journal_check and year_check:
+            return True
+    pr = _partial_ratio_py(t1, t2)
+    if pr > partial_t and length_check:
+        return True
+    return bool(pr > low_t and journal_check and year_check)
+
+
+@pandas_udf(T.BooleanType())
+def colav_similarity_pandas(
+    t1: pd.Series, t2: pd.Series, j1: pd.Series, j2: pd.Series, y1: pd.Series, y2: pd.Series
+) -> pd.Series:
+    """Arrow-batched full-cascade similarity decision (J3)."""
+    out = [
+        colav_similarity_py(
+            a,
+            b,
+            c,
+            d,
+            None if pd.isna(e) else int(e),
+            None if pd.isna(f) else int(f),
+        )
+        for a, b, c, d, e, f in zip(t1, t2, j1, j2, y1, y2)
+    ]
+    return pd.Series(out, dtype="bool")
+
+
 def fuzzy_join(
     probes: DataFrame,
     candidates: DataFrame,

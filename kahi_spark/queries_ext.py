@@ -1078,6 +1078,51 @@ WHERE round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.4
 """
 
 
+def q_colav_similarity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 with the reference's FULL decision cascade
+    (``colav_similarity``, ``KahiDb.py:23-110``: direct ratio →
+    multi-language bracket variants → partial + journal/year rescue),
+    as an Arrow-batched boolean scorer over lang-blocked candidate
+    pairs. difflib scoring → rows-only gate; the cross-engine-exact
+    cascade shape is gated via ``fuzzy_staged_cascade``."""
+    from kahi_spark.operators.fuzzy import colav_similarity_pandas
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    probes = docs.select(
+        F.col("doc_id").alias("probe_id"),
+        "lang",
+        F.substring("text", 1, 90).alias("p_title"),
+        F.col("source").alias("p_journal"),
+        F.pmod(F.col("doc_id"), F.lit(3)).cast("int").alias("p_year"),
+    )
+    # candidates: a SHIFTED window of each doc's own text — the
+    # direct-ratio branch fails but the partial-alignment branch (and
+    # journal+year rescue) fires, exactly the reference's fallback
+    # path; cross-doc pairs in the same lang block score False
+    cands = docs.select(
+        (F.col("doc_id") + 1000).alias("cand_id"),
+        "lang",
+        F.substring("text", 8, 100).alias("c_title"),
+        F.col("source").alias("c_journal"),
+        F.pmod(F.col("doc_id"), F.lit(3)).cast("int").alias("c_year"),
+    )
+    matched = (
+        probes.join(cands, on="lang")
+        .filter(
+            colav_similarity_pandas(
+                F.col("p_title"),
+                F.col("c_title"),
+                F.col("p_journal"),
+                F.col("c_journal"),
+                F.col("p_year"),
+                F.col("c_year"),
+            )
+        )
+        .select("probe_id", "cand_id")
+    )
+    return matched
+
+
 # ---------------------------------------------------------------------------
 # §2.8 session windows: Spark's NATIVE session_window operator
 # ---------------------------------------------------------------------------
@@ -1252,6 +1297,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "keyless_resolution": q_keyless_resolution,
     "fuzzy_staged_cascade": q_fuzzy_staged_cascade,
     "corresponding_author": q_corresponding_author,
+    "colav_similarity_match": q_colav_similarity_match,
     "session_window_native": q_session_window_native,
     "intersect_custkeys": q_intersect_custkeys,
     "token_bpe": q_token_bpe,

@@ -244,3 +244,44 @@ def test_lsh_cosine_pairs_subset_of_bruteforce(spark):
     for k, v in lsh.items():
         assert exact[k] == v
     assert (300, 301) in lsh  # cos ≈ 0.999: LSH recall ~1 at near-dup range
+
+
+def test_colav_similarity_cascade_branches(spark):
+    """Every branch of the reference's decision cascade
+    (KahiDb.py:23-110) re-expressed in colav_similarity_py."""
+    from kahi_spark.operators.fuzzy import colav_similarity_pandas, colav_similarity_py
+
+    # direct ratio on long titles
+    assert colav_similarity_py(
+        "deep learning for spark pipelines", "deep learning for spark pipelines",
+        None, None, None, None)
+    # accent fold + TeX strip (parse_string parity)
+    assert colav_similarity_py(
+        r"an\'alisis de redes $complejas$ en sistemas", "analisis de redes complejas en sistemas",
+        None, None, None, None)
+    # short title rejected without journal+year corroboration
+    assert not colav_similarity_py("short title here", "short title here", None, None, None, None)
+    # short title rescued by journal + year
+    assert colav_similarity_py(
+        "short title here", "short title here", "revista x", "revista x", 2020, 2020)
+    # multi-language bracket variants: english variant matches
+    assert colav_similarity_py(
+        "estudio de grafos aleatorios [study of random graphs today]",
+        "the random graphs analysis [study of random graphs today]",
+        None, None, None, None)
+    # partial + journal/year rescue (substring of a longer title)
+    assert colav_similarity_py(
+        "graph neural networks survey and review",
+        "a comprehensive graph neural networks survey and review of methods",
+        "jmlr", "jmlr", 2021, 2021, partial_t=1.01)
+    # year mismatch kills the rescue path
+    assert not colav_similarity_py(
+        "totally different words one", "another unrelated phrase two",
+        "jmlr", "jmlr", 2020, 2021)
+
+    # the Arrow-batched form agrees with the Python reference impl
+    rows = [("same long title about spark", "same long title about spark",
+             "j", "j", 1, 1)]
+    df = spark.createDataFrame(rows, "t1 string, t2 string, j1 string, j2 string, y1 int, y2 int")
+    got = df.select(colav_similarity_pandas("t1", "t2", "j1", "j2", "y1", "y2").alias("m")).collect()
+    assert got[0].m is True
