@@ -325,7 +325,18 @@ def simhash32_neardup_pairs(
     some 8-bit band untouched → bucket collision → candidate), so the
     output is precisely *all* pairs at Hamming ≤ max_hamming — a
     deterministic set the DuckDB oracle reproduces.
-    Output: (doc_a, doc_b, hamming)."""
+    Output: (doc_a, doc_b, hamming).
+
+    SCALE LIMIT (honest): band-key cardinality bounds how far banding
+    alone can go — 8-bit bands have 256 values, 16-bit (the 64-bit
+    ``simhash_neardup_pairs``) 65k, so at ~10^8+ docs the per-bucket
+    population makes the bucket join quadratic again. At web scale
+    either widen bands (radius guarantee shrinks), add a conjunctive
+    cheap block key (length bucket, as ``keyless.py`` does), or
+    prefer MinHash-LSH (``minhash_lsh_pairs``: band signatures are
+    64-bit hashes of 4-row slices → effectively unbounded key space,
+    uniform by construction). SimHash here is the verification-grade
+    radius query; MinHash-LSH is the recommended 100-TB dedup path."""
     width = 32 // n_bands
     sh = with_simhash32_md5(docs, id_col=id_col, text_col=text_col)
     bands = sh.select(

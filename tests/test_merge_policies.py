@@ -98,3 +98,89 @@ def test_union_policy_commutative(spark):
     # race to fill the same NULL (first writer sticks) — exactly the
     # reference's behavior (fill-if-empty against current state)
     assert (r12.text, r21.text) == ("t1", "t2")
+
+
+# --- property-based: policy algebra under epoch reordering -----------------
+
+
+def _apply_epochs(spark, order, batches, policies):
+    """Fold batches into state via merge_changes_into_state in the
+    given epoch order."""
+    from kahi_spark.operators.merge import (
+        latest_change_per_key,
+        merge_changes_into_state,
+        state_from_reduced,
+    )
+
+    state = None
+    for i in order:
+        ch = latest_change_per_key(spark.createDataFrame(batches[i], _EV_SCHEMA))
+        if state is None:
+            state = state_from_reduced(ch)
+        else:
+            state = merge_changes_into_state(state, ch, policies=policies)
+    return state
+
+
+_EV_SCHEMA = (
+    "seq long, op string, conv_id string, turn_idx int, role string, "
+    "text string, tool string, ts timestamp, tags array<string>"
+)
+
+
+def test_union_and_greatest_policies_commute_across_epochs(spark):
+    """union/greatest are COMMUTATIVE (merge.py docstring): epoch
+    arrival order cannot change those columns. lww columns converge
+    too because ordering is by (ts, seq), not arrival. fill_empty is
+    deliberately NOT asserted order-independent (it is only
+    idempotent)."""
+    import datetime as dt
+    import itertools
+
+    def t(i):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)
+
+    batches = [
+        [(1, "insert", "c1", 0, "user", "a1", None, t(10), ["x"])],
+        [(2, "update", "c1", 0, "user", "b2", "sql", t(5), ["y"])],
+        [(3, "update", "c1", 0, "user", "c3", None, t(10), ["x", "z"])],
+    ]
+    policies = {"text": "lww", "tags": "union", "ts": "greatest"}
+    outs = []
+    for order in itertools.permutations(range(3)):
+        st_df = _apply_epochs(spark, order, batches, policies)
+        row = st_df.collect()[0]
+        outs.append(
+            (row.conv_id, row.turn_idx, row.text, tuple(sorted(row.tags)), str(row.ts))
+        )
+    assert len(set(outs)) == 1, outs
+    # and the winners are the (ts, seq)-max text, union of all tags, max ts
+    assert outs[0][2] == "c3" and outs[0][3] == ("x", "y", "z")
+
+
+def test_fill_empty_is_idempotent_same_epoch(spark):
+    """Replaying the SAME batch leaves fill_empty columns unchanged
+    (the exactly-once story for non-LWW columns: ledger dedups whole
+    epochs; within one epoch fill_empty is a fixed point)."""
+    import datetime as dt
+
+    def t(i):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)
+
+    from kahi_spark.operators.merge import (
+        latest_change_per_key,
+        merge_changes_into_state,
+        state_from_reduced,
+    )
+
+    base = [(1, "insert", "c1", 0, "user", "a", None, t(1), ["x"])]
+    patch = [(2, "update", "c1", 0, "user", "a", "sql", t(2), ["x"])]
+    policies = {"tool": "fill_empty"}
+    state = state_from_reduced(
+        latest_change_per_key(spark.createDataFrame(base, _EV_SCHEMA))
+    )
+    ch = latest_change_per_key(spark.createDataFrame(patch, _EV_SCHEMA))
+    once = merge_changes_into_state(state, ch, policies=policies)
+    twice = merge_changes_into_state(once, ch, policies=policies)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    assert once.collect()[0].tool == "sql"
