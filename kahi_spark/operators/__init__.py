@@ -16,6 +16,8 @@ from kahi_spark.operators.dedup import (
 from kahi_spark.operators.fuzzy import (
     bigram_jaccard_expr,
     char_bigrams_expr,
+    colav_similarity_pandas,
+    colav_similarity_py,
     complement_merge,
     fuzzy_join,
     partial_ratio_pandas,
@@ -34,6 +36,8 @@ from kahi_spark.operators.merge import (
 )
 from kahi_spark.operators.similarity import (
     cosine_pairs,
+    ivf_centroids,
+    ivf_knn,
     knn_bruteforce,
     knn_lsh,
     lsh_cosine_pairs,
@@ -54,6 +58,8 @@ __all__ = [
     "with_simhash32_md5",
     "bigram_jaccard_expr",
     "char_bigrams_expr",
+    "colav_similarity_pandas",
+    "colav_similarity_py",
     "complement_merge",
     "fuzzy_join",
     "partial_ratio_pandas",
@@ -69,6 +75,8 @@ __all__ = [
     "priority_merge",
     "reduce_events_to_state",
     "cosine_pairs",
+    "ivf_centroids",
+    "ivf_knn",
     "knn_bruteforce",
     "knn_lsh",
     "lsh_cosine_pairs",

@@ -1050,6 +1050,43 @@ SELECT probe_id, neighbor_id, rank, score FROM ranked WHERE rank <= 5
 """
 
 
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (coarse-quantizer cells via distributed k-means) run
+    at ``nprobe = n_cells`` — searching every cell is EXACTLY brute
+    force because the cells partition the corpus, so the brute-force
+    SQL oracle gates the full IVF machinery (assignment, cell
+    routing, scoring, ranking) independent of centroid float
+    nondeterminism. The recall/cost tradeoff at nprobe < n_cells is
+    pytest-verified (`test_ivf_knn_*`)."""
+    from kahi_spark.operators.similarity import ivf_knn
+
+    emb = _read(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return ivf_knn(probes, emb, k=5, n_cells=8, nprobe=8, iters=2)
+
+
+ORACLE_KNN_IVF = """
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+scored AS (
+    SELECT p.vec_id AS probe_id, x.vec_id AS neighbor_id,
+           round(list_inner_product(p.v, x.v) / (p.nrm * x.nrm), 6) AS score
+    FROM e p JOIN e x ON x.vec_id <> p.vec_id
+    WHERE p.vec_id < 5
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY score DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT probe_id, neighbor_id, rank, score FROM ranked WHERE rank <= 5
+"""
+
+
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs over the FULL table via LSH bucket
     blocking (no silent caps): candidates share a bucket in some
@@ -1304,6 +1341,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "simhash_neardup": q_simhash_neardup,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "multimodal_decode": q_multimodal_decode,
 }
@@ -1326,6 +1364,7 @@ ORACLES_EXT: dict[str, str] = {
     "quality_score": ORACLE_QUALITY_SCORE,
     "simhash_neardup": _oracle_simhash(),
     "knn_lsh": _oracle_knn_lsh(),
+    "knn_ivf": ORACLE_KNN_IVF,
     "embedding_neardup_lsh": _oracle_neardup_lsh(),
     # multimodal_decode: intentionally no oracle (binary mapInPandas)
 }

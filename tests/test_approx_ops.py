@@ -74,3 +74,38 @@ def test_minhash_signature_similarity_tracks_jaccard(spark):
 
     assert agree(1, 2) > 0.5
     assert agree(1, 3) < 0.15
+
+
+def test_ivf_knn_full_probe_equals_bruteforce(spark):
+    """nprobe = n_cells searches every cell — cells PARTITION the
+    corpus, so the result is exactly brute force regardless of how
+    good the centroids are."""
+    from kahi_spark.operators.similarity import ivf_knn, knn_bruteforce
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter("vec_id < 5")
+    exact = sorted(map(tuple, knn_bruteforce(probes, emb, k=5).collect()))
+    ivf = sorted(map(tuple, ivf_knn(probes, emb, k=5, n_cells=8, nprobe=8, iters=2).collect()))
+    assert ivf == exact
+
+
+def test_ivf_knn_recall_at_small_nprobe(spark):
+    """On cluster-structured data (the embeddings table has 10
+    labeled clusters), probing a fraction of the cells keeps useful
+    recall while touching ~nprobe/n_cells of the corpus."""
+    from kahi_spark.operators.similarity import ivf_centroids, ivf_knn, knn_bruteforce
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter("vec_id < 10")
+    cents = ivf_centroids(emb, n_cells=10, iters=4)
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in knn_bruteforce(probes, emb, k=5).collect()
+    }
+    approx = {
+        (r.probe_id, r.neighbor_id)
+        for r in ivf_knn(probes, emb, k=5, n_cells=10, nprobe=3, centroids=cents).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.4, recall  # clustered data; generous floor for
+    # float-nondeterministic centroid boundaries
