@@ -103,3 +103,33 @@ def test_cdc_reduce_is_single_shuffle(spark):
     # stage, pre-shuffle
     pre_exchange = plan.split("Exchange hashpartitioning")[1]
     assert "regexp_replace" in pre_exchange
+
+def test_round2_query_plans_have_no_cartesian_products(spark):
+    """Plan-shape regression guard for the round-2 gated queries:
+    no CartesianProduct may appear (the gazetteer contains-join is
+    intentionally a BroadcastNestedLoopJoin against a 25-row
+    dimension — broadcast, not cartesian), and the 7-way feed
+    dispatch must stay a single scan."""
+    from kahi_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    names = [
+        "staged_lookup_entities",
+        "gazetteer_country",
+        "keyless_resolution",
+        "embedding_neardup_lsh",
+        "multisource_convergence",
+        "simhash_neardup",
+        "merge_policies",
+        "align_positional",
+    ]
+    for name in names:
+        df = QUERIES[name](spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name} plan degraded:\n{plan[:2000]}"
+    # the 7-way feed dispatch must stay ONE scan of the feed (simple
+    # plan mode: each node printed once)
+    for name in ("rawfeeds_normalize", "multisource_convergence"):
+        df = QUERIES[name](spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 1, f"{name}: feed dispatch must be one scan"
