@@ -1115,6 +1115,82 @@ WHERE round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.4
 """
 
 
+def q_id_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: external-id-to-element fuzzy assignment (the reference
+    splits ORCID/ResearcherID composites and fuzz-matches each to an
+    author name, ``WebOfScience.py:251-297``): composite 'fragment::
+    ID-n' strings are split (F15), the fragment fuzzy-matched against
+    candidate elements within the lang block, best element wins (W1).
+    Fragments are offset windows of their own document's text, so the
+    correct assignment dominates; fully SQL-expressible (bigram
+    Jaccard) → exact oracle."""
+    from kahi_spark.operators.fuzzy import bigram_jaccard_expr, char_bigrams_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    authors = docs.select(
+        "lang",
+        F.col("doc_id").alias("author_id"),
+        char_bigrams_expr(F.substring("text", 1, 50)).alias("bg_a"),
+    )
+    composite = F.concat(
+        F.substring("text", 5, 40), F.lit("::ID-"), F.col("doc_id").cast("string")
+    )
+    probes = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "lang", composite.alias("composite")
+    )
+    probes = probes.select(
+        "lang",
+        F.element_at(F.split("composite", "::"), 2).alias("ext_id"),
+        char_bigrams_expr(F.element_at(F.split("composite", "::"), 1)).alias("bg_f"),
+    )
+    scored = (
+        probes.join(authors, on="lang")
+        .withColumn("score", bigram_jaccard_expr(F.col("bg_f"), F.col("bg_a")))
+        .filter(F.col("score") >= 0.3)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ext_id").orderBy(F.desc("score"), F.asc("author_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("ext_id", "author_id", "score")
+    )
+
+
+_BG_FRAG = _BIGRAMS_SQL.format(x="string_split(composite, '::')[1]")
+_BG_AUTH = _BIGRAMS_SQL.format(x="substr(text, 1, 50)")
+
+ORACLE_ID_ASSIGNMENT = f"""
+WITH authors AS (
+    SELECT lang, doc_id AS author_id, {_BG_AUTH} AS bg_a
+    FROM documents
+),
+comp AS (
+    SELECT lang,
+           substr(text, 5, 40) || '::ID-' || CAST(doc_id AS STRING) AS composite
+    FROM documents WHERE doc_id % 3 = 0
+),
+probes AS (
+    SELECT lang,
+           string_split(composite, '::')[2] AS ext_id,
+           {_BG_FRAG} AS bg_f
+    FROM comp
+),
+scored AS (
+    SELECT p.ext_id, a.author_id,
+           round(len(list_intersect(p.bg_f, a.bg_a))::DOUBLE
+                 / (len(p.bg_f) + len(a.bg_a) - len(list_intersect(p.bg_f, a.bg_a))), 6) AS score
+    FROM probes p JOIN authors a ON p.lang = a.lang
+)
+SELECT ext_id, author_id, score FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY ext_id ORDER BY score DESC, author_id ASC) AS rn
+    FROM scored WHERE score >= 0.3
+) WHERE rn = 1
+"""
+
+
 def q_colav_similarity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 with the reference's FULL decision cascade
     (``colav_similarity``, ``KahiDb.py:23-110``: direct ratio →
@@ -1334,6 +1410,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "keyless_resolution": q_keyless_resolution,
     "fuzzy_staged_cascade": q_fuzzy_staged_cascade,
     "corresponding_author": q_corresponding_author,
+    "id_assignment": q_id_assignment,
     "colav_similarity_match": q_colav_similarity_match,
     "session_window_native": q_session_window_native,
     "intersect_custkeys": q_intersect_custkeys,
@@ -1358,6 +1435,7 @@ ORACLES_EXT: dict[str, str] = {
     "csv_worklist_pending": ORACLE_CSV_WORKLIST,
     "keyless_resolution": _oracle_keyless(),
     "fuzzy_staged_cascade": ORACLE_FUZZY_CASCADE,
+    "id_assignment": ORACLE_ID_ASSIGNMENT,
     "session_window_native": ORACLE_SESSION_WINDOW,
     "intersect_custkeys": ORACLE_INTERSECT,
     "token_bpe": ORACLE_TOKEN_BPE,
