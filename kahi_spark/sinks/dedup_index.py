@@ -1,0 +1,234 @@
+"""Incremental MinHash-LSH near-dup index for the ingest pipeline.
+
+A training-data pipeline must near-dedup NEW documents against
+EVERYTHING already ingested — at 100 TB you cannot re-shingle the
+corpus per batch. The index keeps two append-only parquet tables:
+
+* ``bands/`` — one row per (key, band_idx, band_sig): the LSH
+  candidate-lookup table. Bucket keys are 64-bit hashes of 4-row
+  signature slices — high-cardinality and uniform, so the candidate
+  join never concentrates (contrast the banded-SimHash cardinality
+  limit, ``dedup.py``).
+* ``sigs/``  — one row per key with the full 64-slot MinHash
+  signature. Verification estimates Jaccard as the fraction of equal
+  signature slots (standard estimator, σ ≈ 1/√64 ≈ 0.125) — NO raw
+  text is stored or re-read; the index is O(keys · 64 longs).
+
+Epoch-keyed subdirectories make writes idempotent: a re-delivered
+epoch overwrites its own files byte-identically (the same
+exactly-once story as the snapshot sink's ledger).
+
+Reference analogue: the in-memory similarity candidate lists that
+Kahi preloads and shrinks as records are consumed
+(``KahiDb.py:161-242``, ``Kahi.py:195-199``) — here the "list" is a
+distributed, persistent, incrementally-grown LSH index.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kahi_spark.operators.dedup import minhash_signatures, shingle_df
+
+
+class LshDedupIndex:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n_hashes: int = 64,
+        n_bands: int = 16,
+        threshold: float = 0.8,
+        shingle_n: int = 3,
+        seed: int = 42,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.n_hashes = n_hashes
+        self.n_bands = n_bands
+        self.rows_per_band = n_hashes // n_bands
+        self.threshold = threshold
+        self.shingle_n = shingle_n
+        self.seed = seed
+
+    # -- signature construction -------------------------------------------
+
+    def _signatures(self, df: DataFrame, key_col: str, text_col: str) -> DataFrame:
+        """(key, sig array<long>) — one aggregation over exploded
+        shingles (map-side combinable mins)."""
+        sh = shingle_df(df, id_col=key_col, text_col=text_col, n=self.shingle_n)
+        wide = minhash_signatures(sh, id_col=key_col, n_hashes=self.n_hashes, seed=self.seed)
+        return wide.select(
+            F.col(key_col).alias("key"),
+            F.array(*[F.col(f"mh_{i}") for i in range(self.n_hashes)]).alias("sig"),
+        )
+
+    def _bands(self, sigs: DataFrame) -> DataFrame:
+        r = self.rows_per_band
+        return sigs.select(
+            "key",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            F.xxhash64(
+                                *[F.element_at("sig", b * r + i + 1) for i in range(r)]
+                            ).alias("band_sig"),
+                        )
+                        for b in range(self.n_bands)
+                    ]
+                )
+            ).alias("b"),
+        ).select("key", "b.band_idx", "b.band_sig")
+
+    # -- storage ------------------------------------------------------------
+
+    def _read(self, sub: str, schema: str) -> DataFrame:
+        base = os.path.join(self.path, sub)
+        if not os.path.exists(base) or not any(
+            e.is_dir() for e in os.scandir(base)
+        ):
+            return self.spark.createDataFrame([], schema)
+        return (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .schema(schema)  # type: ignore[arg-type]
+            .parquet(base)
+        )
+
+    def existing_bands(self) -> DataFrame:
+        return self._read("bands", "key string, band_idx int, band_sig long")
+
+    def existing_sigs(self) -> DataFrame:
+        return self._read("sigs", "key string, sig array<bigint>")
+
+    def dropped_keys(self) -> DataFrame:
+        return self._read("dropped", "key string")
+
+    def add(self, new_sigs: DataFrame, epoch_id: int, dropped: DataFrame | None = None) -> None:
+        """Append an epoch's signatures, idempotently. A re-delivered
+        epoch must not overwrite IN PLACE: the dataframes being
+        written lazily read the previous delivery's files under the
+        same paths (Spark deletes overwrite targets before computing
+        → reads of deleted files). So: ALL temp writes complete first
+        (old files stay readable for every plan), then the epoch
+        directories are swapped in."""
+        import shutil
+        import uuid
+
+        writes = [("sigs", new_sigs), ("bands", self._bands(new_sigs))]
+        if dropped is not None:
+            writes.append(("dropped", dropped))
+        swaps = []
+        for sub, df in writes:
+            final = os.path.join(self.path, sub, f"epoch_{epoch_id}")
+            tmp = f"{final}.tmp-{uuid.uuid4().hex}"
+            df.write.mode("overwrite").parquet(tmp)
+            swaps.append((tmp, final))
+        for tmp, final in swaps:
+            shutil.rmtree(final, ignore_errors=True)
+            os.rename(tmp, final)
+
+    # -- the per-batch dedup decision ---------------------------------------
+
+    def _estimate(self, a: str, b: str) -> F.Column:
+        """Estimated Jaccard = fraction of equal signature slots."""
+        eq = F.zip_with(F.col(a), F.col(b), lambda x, y: (x == y).cast("int"))
+        return F.aggregate(eq, F.lit(0), lambda s, x: s + x).cast("double") / F.lit(
+            self.n_hashes
+        )
+
+    def find_neardups(self, new_sigs: DataFrame) -> DataFrame:
+        """Keys in ``new_sigs`` judged near-duplicates: of an already
+        indexed key, or of a LOWER in-batch key (the lower key is the
+        canonical survivor — deterministic). Returns (key, match_key,
+        est_jaccard)."""
+        new_bands = self._bands(new_sigs)
+        old_bands = self.existing_bands()
+        # candidates vs the index, and vs lower-keyed batch peers
+        cand_old = new_bands.alias("n").join(
+            old_bands.alias("o"),
+            (F.col("n.band_idx") == F.col("o.band_idx"))
+            & (F.col("n.band_sig") == F.col("o.band_sig"))
+            & (F.col("n.key") != F.col("o.key")),
+        )
+        cand_new = new_bands.alias("n").join(
+            new_bands.alias("o"),
+            (F.col("n.band_idx") == F.col("o.band_idx"))
+            & (F.col("n.band_sig") == F.col("o.band_sig"))
+            & (F.col("n.key") > F.col("o.key")),
+        )
+        cand = (
+            cand_old.select(F.col("n.key").alias("key"), F.col("o.key").alias("match_key"))
+            .unionByName(
+                cand_new.select(
+                    F.col("n.key").alias("key"), F.col("o.key").alias("match_key")
+                )
+            )
+            .distinct()
+        )
+        all_sigs = self.existing_sigs().unionByName(new_sigs)
+        verified = (
+            cand.join(new_sigs.withColumnRenamed("sig", "_s1"), on="key")
+            .join(
+                all_sigs.select(
+                    F.col("key").alias("match_key"), F.col("sig").alias("_s2")
+                ),
+                on="match_key",
+            )
+            .withColumn("est_jaccard", F.round(self._estimate("_s1", "_s2"), 6))
+            .filter(F.col("est_jaccard") >= self.threshold)
+        )
+        # one row per deduped key (best match, deterministic)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("key").orderBy(F.desc("est_jaccard"), F.asc("match_key"))
+        return (
+            verified.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("key", "match_key", "est_jaccard")
+        )
+
+    def dedup_batch(
+        self,
+        batch: DataFrame,
+        epoch_id: int,
+        key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+        text_col: str = "text",
+    ) -> tuple[DataFrame, int]:
+        """The per-epoch ingest hook: drop INSERT events whose text
+        near-dups an already-ingested (or lower in-batch) key, and
+        silence later events for keys that were deduped in past
+        epochs (the 'dropped' ledger — without it a later update
+        would resurrect the duplicate). Returns (kept_events,
+        n_deduped). Signatures of surviving inserts are appended
+        under this epoch (idempotent)."""
+        key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])
+        inserts = batch.filter(F.col("op") == "insert").withColumn("_k", key)
+        new_sigs = self._signatures(
+            inserts.select(F.col("_k").alias("k"), text_col).dropDuplicates(["k"]),
+            "k",
+            text_col,
+        )
+        dups = self.find_neardups(new_sigs).select(F.col("key").alias("_k")).distinct()
+        prior_dropped = self.dropped_keys().select(F.col("key").alias("_k"))
+        all_dropped = dups.unionByName(prior_dropped).distinct()
+        kept = (
+            batch.withColumn("_k", key)
+            .join(all_dropped, on="_k", how="left_anti")
+            .drop("_k")
+        )
+        # materialize NOW: kept's plan reads the index files that
+        # add() is about to swap out (epoch re-delivery overwrites its
+        # own subdir); localCheckpoint cuts the lineage so callers can
+        # keep using `kept` after the swap. One batch — bounded.
+        kept = kept.localCheckpoint(eager=True)
+        n_deduped = batch.count() - kept.count()
+        surviving = new_sigs.join(
+            dups.withColumnRenamed("_k", "key"), on="key", how="left_anti"
+        )
+        self.add(surviving, epoch_id, dropped=dups.withColumnRenamed("_k", "key"))
+        return kept, n_deduped

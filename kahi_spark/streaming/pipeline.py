@@ -49,6 +49,7 @@ class CdcPipeline:
         converge_sources: tuple[str, ...] | None = None,
         policies: dict[str, str] | None = None,
         resolve_keyless: bool = False,
+        dedup_index=None,
     ) -> None:
         """``salt_buckets``: >0 enables the two-phase salted LWW
         reduction for hot conv_ids (north_rule skew handling — a
@@ -60,6 +61,13 @@ class CdcPipeline:
         char-bigram similarity; EP3, the reference's
         similarity-driven ingest) and adopt the matched key, or mint
         a surrogate when nothing matches.
+
+        ``dedup_index``: an ``LshDedupIndex`` enables INCREMENTAL
+        near-dup dedup at ingest — each epoch's inserts are checked
+        against everything already ingested (and lower in-batch keys)
+        via the persistent MinHash-LSH index; duplicates are dropped
+        before the MERGE and their keys ledgered so later updates
+        cannot resurrect them. The corpus is never re-shingled.
 
         ``converge_sources``: a source-priority tuple enables
         Kahi-style multi-source convergence per batch — fields of the
@@ -80,6 +88,7 @@ class CdcPipeline:
         self.converge_sources = converge_sources
         self.policies = policies
         self.resolve_keyless = resolve_keyless
+        self.dedup_index = dedup_index
         self.metrics: list[dict] = []
 
     def _converge(self, normalized: DataFrame) -> DataFrame:
@@ -121,6 +130,9 @@ class CdcPipeline:
                 else self.spark.createDataFrame([], "conv_id string, turn_idx int, role string, text string")
             )
             normalized = resolve_keyless_events(normalized, state)
+        n_deduped = 0
+        if self.dedup_index is not None:
+            normalized, n_deduped = self.dedup_index.dedup_batch(normalized, epoch_id)
         if self.converge_sources:
             normalized = self._converge(normalized)
         applied = self.table.merge(
@@ -139,6 +151,7 @@ class CdcPipeline:
                 "epoch_id": epoch_id,
                 "events": n,
                 "applied": applied,
+                "n_deduped": n_deduped,
                 "wall_s": round(wall, 3),
                 "events_per_sec": round(n / wall, 1) if wall > 0 else None,
             }

@@ -1,0 +1,116 @@
+"""Incremental MinHash-LSH dedup index: cross-epoch near-dup drops,
+in-batch lowest-key-survives, resurrect prevention via the dropped
+ledger, idempotent epoch re-delivery, and pipeline integration."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kahi_spark.sinks.dedup_index import LshDedupIndex
+
+_EV = (
+    "seq long, op string, conv_id string, turn_idx int, role string, "
+    "text string, tool string, ts timestamp, source string"
+)
+
+
+def _t(i):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)
+
+
+def _ev(seq, op, conv, turn, text):
+    return (seq, op, conv, turn, "user", text, None, _t(seq), "src0")
+
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while the spark engine "
+    "reduces the change log into one canonical snapshot per key every epoch "
+    "and the compaction job folds delta files back into bucketed base files "
+    "so that readers always observe a consistent table state"
+)
+# one-word edit in a ~45-word doc → shingle jaccard ≈ (43-3)/(43+3) ≈ 0.87
+_NEARDUP = _BASE.replace("lazy dog", "lazy cat")
+_OTHER = (
+    "completely different content about vector indexes bucket joins and "
+    "minhash signatures growing incrementally as batches of documents arrive"
+)
+
+
+def test_cross_epoch_and_in_batch_dedup(spark, tmp_path):
+    idx = LshDedupIndex(spark, str(tmp_path / "idx"), threshold=0.8)
+
+    # epoch 0: two distinct docs; c2 is an in-batch near-dup of c1
+    b0 = spark.createDataFrame(
+        [
+            _ev(0, "insert", "c1", 0, _BASE),
+            _ev(1, "insert", "c2", 0, _NEARDUP),  # higher key → dropped
+            _ev(2, "insert", "c3", 0, _OTHER),
+        ],
+        _EV,
+    )
+    kept0, n0 = idx.dedup_batch(b0, epoch_id=0)
+    keys0 = sorted(r.conv_id for r in kept0.collect())
+    assert keys0 == ["c1", "c3"] and n0 == 1
+
+    # epoch 1: a near-dup of an epoch-0 doc arrives under a new key →
+    # dropped against the INDEX (no re-shingling of epoch 0); a later
+    # update to the previously dropped c2 is silenced by the ledger
+    b1 = spark.createDataFrame(
+        [
+            _ev(10, "insert", "c9", 0, _BASE),
+            _ev(11, "update", "c2", 0, "resurrection attempt"),
+            _ev(12, "insert", "c4", 1, "fresh unique text with its own words entirely"),
+        ],
+        _EV,
+    )
+    kept1, n1 = idx.dedup_batch(b1, epoch_id=1)
+    keys1 = sorted(r.conv_id for r in kept1.collect())
+    assert keys1 == ["c4"] and n1 == 2
+
+    # re-delivered epoch 1 (crash retry): identical outcome, index
+    # content unchanged (epoch subdir overwritten deterministically)
+    kept1b, n1b = idx.dedup_batch(b1, epoch_id=1)
+    assert sorted(r.conv_id for r in kept1b.collect()) == keys1 and n1b == n1
+    sigs = idx.existing_sigs().collect()
+    assert sorted(r.key for r in sigs) == ["c1:0", "c3:0", "c4:1"]
+
+
+def test_pipeline_with_dedup_index(spark, tmp_path):
+    import os
+
+    from kahi_spark.sinks.snapshot import SnapshotTable
+    from kahi_spark.streaming.pipeline import CdcPipeline
+
+    event_dir = str(tmp_path / "binlog")
+    os.makedirs(event_dir)
+    import pandas as pd
+
+    def pdf(rows):
+        df = pd.DataFrame(
+            rows,
+            columns=["seq", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts", "source"],
+        )
+        df["turn_idx"] = df["turn_idx"].astype("int32")
+        df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+        df["tool"] = pd.array(df["tool"], dtype="string")
+        return df
+
+    pdf([_ev(0, "insert", "c1", 0, _BASE), _ev(1, "insert", "c3", 0, _OTHER)]).to_parquet(
+        f"{event_dir}/b0.parquet", index=False
+    )
+    pdf([_ev(10, "insert", "c9", 0, _NEARDUP)]).to_parquet(
+        f"{event_dir}/b1.parquet", index=False
+    )
+
+    table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=2)
+    idx = LshDedupIndex(spark, str(tmp_path / "idx"), threshold=0.8)
+    pipe = CdcPipeline(
+        spark, event_dir, table, str(tmp_path / "ck"), dedup_index=idx
+    )
+    metrics = pipe.run_until_idle()
+    out = sorted(r.conv_id for r in table.read().collect())
+    # c9's text near-dups c1's (ingested one epoch earlier) → dropped
+    assert out == ["c1", "c3"]
+    assert sum(m["n_deduped"] for m in metrics) == 1
