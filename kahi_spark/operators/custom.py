@@ -44,3 +44,40 @@ def conversation_stats(transcripts: DataFrame) -> DataFrame:
         )
 
     return transcripts.groupBy("conv_id").applyInPandas(stats, schema=STATS_SCHEMA)
+
+
+STATS_EXACT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("n_turns", T.IntegerType()),
+        T.StructField("n_roles", T.IntegerType()),
+        T.StructField("n_tool_calls", T.IntegerType()),
+        T.StructField("sum_gap_us", T.LongType()),
+        T.StructField("max_gap_us", T.LongType()),
+    ]
+)
+
+
+def conversation_stats_exact(transcripts: DataFrame) -> DataFrame:
+    """Cross-engine-exact variant: gap statistics as INTEGER
+    microseconds (sum + max instead of a float mean) — float-boundary
+    rounding differs between engines' round() algorithms, integers
+    never do. This is the oracle-gated form; ``conversation_stats``
+    keeps the human-friendly float seconds."""
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["turn_idx", "ts"])
+        ns = pdf["ts"].astype("int64")  # ns since epoch (Arrow datetime64[ns])
+        gaps_us = (ns.diff().dropna() // 1000).astype("int64")
+        return pd.DataFrame(
+            {
+                "conv_id": [pdf["conv_id"].iloc[0]],
+                "n_turns": [len(pdf)],
+                "n_roles": [pdf["role"].nunique(dropna=True)],
+                "n_tool_calls": [int(pdf["tool"].notna().sum())],
+                "sum_gap_us": [int(gaps_us.sum()) if len(gaps_us) else None],
+                "max_gap_us": [int(gaps_us.max()) if len(gaps_us) else None],
+            }
+        )
+
+    return transcripts.groupBy("conv_id").applyInPandas(stats, schema=STATS_EXACT_SCHEMA)

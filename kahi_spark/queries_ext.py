@@ -1115,6 +1115,55 @@ WHERE round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.4
 """
 
 
+def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9.6 UDAF-analogue: per-conversation session statistics via
+    ``applyInPandas`` (ordered gap iteration + set aggregation) over
+    the LWW transcript state, oracled by the equivalent windowed SQL.
+    Gap stats are INTEGER microseconds (sum + max) so the comparison
+    is exact — engines' float round() algorithms disagree at decimal
+    boundaries. One shuffle on the group key; Python runs once per
+    Arrow group."""
+    from kahi_spark.operators.custom import conversation_stats_exact
+    from kahi_spark.operators.merge import normalize_events, reduce_events_to_state
+
+    state = reduce_events_to_state(
+        normalize_events(derive_transcript_events(spark, sf_dir))
+    )
+    return conversation_stats_exact(state)
+
+
+def _oracle_conversation_stats() -> str:
+    from kahi_spark.sources.events import norm_events_cte
+
+    return (
+        norm_events_cte()
+        + """
+, latest AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) AS rn
+    FROM norm
+),
+state AS (
+    SELECT conv_id, turn_idx, role, tool, ts
+    FROM latest WHERE rn = 1 AND op <> 'delete'
+),
+g AS (
+    SELECT conv_id, role, tool,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx, ts) AS gap_us
+    FROM state
+)
+SELECT conv_id,
+       CAST(count(*) AS INT) AS n_turns,
+       CAST(count(DISTINCT role) AS INT) AS n_roles,
+       CAST(count(tool) AS INT) AS n_tool_calls,
+       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+FROM g GROUP BY conv_id
+"""
+    )
+
+
 def q_id_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7: external-id-to-element fuzzy assignment (the reference
     splits ORCID/ResearcherID composites and fuzz-matches each to an
@@ -1410,6 +1459,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "keyless_resolution": q_keyless_resolution,
     "fuzzy_staged_cascade": q_fuzzy_staged_cascade,
     "corresponding_author": q_corresponding_author,
+    "conversation_stats": q_conversation_stats,
     "id_assignment": q_id_assignment,
     "colav_similarity_match": q_colav_similarity_match,
     "session_window_native": q_session_window_native,
@@ -1435,6 +1485,7 @@ ORACLES_EXT: dict[str, str] = {
     "csv_worklist_pending": ORACLE_CSV_WORKLIST,
     "keyless_resolution": _oracle_keyless(),
     "fuzzy_staged_cascade": ORACLE_FUZZY_CASCADE,
+    "conversation_stats": _oracle_conversation_stats(),
     "id_assignment": ORACLE_ID_ASSIGNMENT,
     "session_window_native": ORACLE_SESSION_WINDOW,
     "intersect_custkeys": ORACLE_INTERSECT,
