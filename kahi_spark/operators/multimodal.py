@@ -131,13 +131,70 @@ def decode_image_batch(df: DataFrame, real_codec: bool = False) -> DataFrame:
 
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling PLAN: emits one row per sampled frame
-    index (the decode itself is the stubbed step). Demonstrates the
-    1→N explode shape the real operator needs."""
+    index (video codecs aren't parseable without external libs).
+    Demonstrates the 1→N explode shape; for REAL sample extraction
+    see ``sample_audio_frames`` (PCM/WAV, pure Python)."""
     n_frames = (F.length(F.col("payload")) / 1000).cast("int") + 1  # fake frame count
     idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
     return df.filter(F.col("kind") == "video").select(
         "asset_id", F.explode(idx).alias("frame_idx")
     )
+
+
+SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("sample", T.IntegerType(), True),  # signed 16-bit PCM
+    ]
+)
+
+
+def _wav_data_samples(b: bytes) -> list[int]:
+    """Locate the RIFF 'data' chunk and decode 16-bit little-endian
+    PCM samples — a real decode, no external libraries."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return []
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if cid == b"data":
+            raw = b[pos + 8 : pos + 8 + size]
+            return [
+                int.from_bytes(raw[i : i + 2], "little", signed=True)
+                for i in range(0, len(raw) - 1, 2)
+            ]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    return []
+
+
+def sample_audio_frames(df: DataFrame, every_n: int = 4) -> DataFrame:
+    """REAL 1→N frame sampling: parse each WAV payload's data chunk
+    (pure-Python RIFF walk) and emit every ``every_n``-th PCM sample
+    as its own row — the audio analogue of video frame sampling, with
+    the same mapInPandas Arrow-batch shape the image decode uses."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, vals = [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                samples = _wav_data_samples(bytes(payload))
+                for i in range(0, len(samples), every_n):
+                    ids.append(aid)
+                    idxs.append(i)
+                    vals.append(samples[i])
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.array(ids, dtype="Int64"),
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "sample": pd.array(vals, dtype="Int32"),
+                }
+            )
+
+    return df.filter(F.col("kind") == "audio").mapInPandas(extract, schema=SAMPLE_SCHEMA)
 
 
 def _png_bytes(w: int, h: int) -> bytes:
@@ -168,7 +225,7 @@ def _gif_bytes(w: int, h: int) -> bytes:
     return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + bytes(4)
 
 
-def _wav_bytes(sample_rate: int, channels: int) -> bytes:
+def _wav_bytes(sample_rate: int, channels: int, samples: list[int] | None = None) -> bytes:
     fmt = (
         (1).to_bytes(2, "little")
         + channels.to_bytes(2, "little")
@@ -178,6 +235,9 @@ def _wav_bytes(sample_rate: int, channels: int) -> bytes:
         + (16).to_bytes(2, "little")
     )
     body = b"WAVEfmt " + len(fmt).to_bytes(4, "little") + fmt
+    if samples:
+        pcm = b"".join(s.to_bytes(2, "little", signed=True) for s in samples)
+        body += b"data" + len(pcm).to_bytes(4, "little") + pcm
     return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + body
 
 
@@ -196,7 +256,12 @@ def make_real_assets(spark, n: int = 60) -> DataFrame:
         elif fmt == 2:
             payload, kind, mime = _gif_bytes(w % 4096, h % 4096), "image", "image/gif"
         else:
-            payload, kind, mime = _wav_bytes(8000 + 100 * i, 1 + i % 2), "audio", "audio/wav"
+            pcm = [((i * 31 + j * 17) % 1000) - 500 for j in range(24 + i % 8)]
+            payload, kind, mime = (
+                _wav_bytes(8000 + 100 * i, 1 + i % 2, samples=pcm),
+                "audio",
+                "audio/wav",
+            )
         rows.append((i, kind, payload, mime, {"fmt": mime}))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 

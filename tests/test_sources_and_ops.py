@@ -157,3 +157,19 @@ def test_conversation_stats_applyinpandas(spark):
     assert got["c1"].mean_gap_s == 20.0
     assert got["c1"].max_gap_s == 30.0
     assert got["c2"].mean_gap_s is None
+
+
+def test_audio_frame_sampling_real_pcm(spark):
+    """Every-Nth 16-bit PCM sample extracted from real RIFF data
+    chunks (the de-stubbed frame-sample operator)."""
+    from kahi_spark.operators.multimodal import make_real_assets, sample_audio_frames
+
+    assets = make_real_assets(spark, n=12)  # ids 3, 7, 11 are WAVs
+    got = {}
+    for r in sample_audio_frames(assets, every_n=4).collect():
+        got.setdefault(r.asset_id, []).append((r.frame_idx, r.sample))
+    assert set(got) == {3, 7, 11}
+    for i in sorted(got):
+        expected_pcm = [((i * 31 + j * 17) % 1000) - 500 for j in range(24 + i % 8)]
+        expect = [(j, expected_pcm[j]) for j in range(0, len(expected_pcm), 4)]
+        assert sorted(got[i]) == expect
