@@ -63,6 +63,31 @@ def sf_from_dir(d: str) -> float:
         return -1.0
 
 
+#: deterministic generated inputs are cached ACROSS bench runs (the
+#: generator is seeded, so content depends only on the parameters) —
+#: regenerating 24M+4M events cost ~2 min of every run
+GEN_CACHE = "/tmp/kahi_bench_gen_cache"
+
+
+def cached_events(n_events: int, n_files: int, tag: str) -> str:
+    import uuid
+
+    path = os.path.join(GEN_CACHE, f"{tag}-{n_events}-{n_files}")
+    if not os.path.exists(path):
+        os.makedirs(GEN_CACHE, exist_ok=True)
+        from kahi_spark.gen import generate_events_spark
+
+        spark = fresh_session(f"local[{CPUS}]", CPUS)
+        tmp = f"{path}.build-{uuid.uuid4().hex}"
+        generate_events_spark(spark, n_events, tmp, n_files=n_files)
+        spark.stop()
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
 def fresh_session(master: str, shuffle_partitions: int):
     from pyspark.sql import SparkSession
 
@@ -95,14 +120,14 @@ def materialize(df) -> int:
     return row.rows
 
 
-def run_headline(spark) -> dict[str, float]:
+def run_headline(spark, sf_dir: str = SF_DIR) -> dict[str, float]:
     from kahi_spark.queries import QUERIES
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = QUERIES[name]
         t0 = time.time()
-        materialize(q(spark, SF_DIR))
+        materialize(q(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
     return timings
 
@@ -130,20 +155,19 @@ def cdc_apply_job(spark, event_path: str) -> int:
 
 
 def _measure_once(master: str, parts: int, event_path: str) -> dict:
-    """One warmup + two measured runs (min) of the change-apply job
-    in a fresh JVM; run_scaling interleaves subprocesses across
-    levels and takes the min per level — 4 samples per level total,
-    riding out transient VM-noise windows within the time budget."""
+    """One warmup + one measured run of the change-apply job in a
+    fresh JVM; run_scaling interleaves subprocesses across levels and
+    takes the min per level — two samples per level across the two
+    interleaved rounds, riding out transient VM-noise windows while
+    keeping the whole bench inside the round time budget (scaling
+    runs FIRST so the north-rule metric always gets both rounds)."""
     spark = fresh_session(master, parts)
     cdc_apply_job(spark, event_path)  # warmup (JIT, page cache)
-    walls = []
-    rows = 0
-    for _ in range(2):
-        t0 = time.time()
-        rows = cdc_apply_job(spark, event_path)
-        walls.append(time.time() - t0)
+    t0 = time.time()
+    rows = cdc_apply_job(spark, event_path)
+    wall = time.time() - t0
     spark.stop()
-    return {"wall_s": round(min(walls), 3), "rows": rows}
+    return {"wall_s": round(wall, 3), "rows": rows}
 
 
 def run_scaling(tmp: str) -> dict:
@@ -154,14 +178,13 @@ def run_scaling(tmp: str) -> dict:
     variance was >3× before isolating."""
     import subprocess
 
-    from kahi_spark.gen import generate_events_spark
+    event_path = cached_events(SCALING_EVENTS, 128, "scaling")
 
-    event_path = os.path.join(tmp, "scaling-events")
-    gen_spark = fresh_session(f"local[{CPUS}]", CPUS)
-    generate_events_spark(gen_spark, SCALING_EVENTS, event_path, n_files=128)
-    gen_spark.stop()
-
-    repeats = int(os.environ.get("KAHI_BENCH_REPEATS", "2"))
+    # 3 interleaved rounds when the time budget allows (the deadline
+    # guard trims to 2 — or 1 — on slow days): ambient CPU-steal
+    # windows in this VM can inflate a single sample 4×+, so min-of-N
+    # needs N ≥ 2 clean-ish samples per level
+    repeats = int(os.environ.get("KAHI_BENCH_REPEATS", "3"))
     levels = (("n8", "local[8]", 8), ("n32", "local[32]", 32))
     walls: dict[str, list] = {lbl: [] for lbl, _, _ in levels}
     rows_by: dict[str, int] = {}
@@ -200,13 +223,11 @@ def run_pipeline_throughput(tmp: str, n_events: int = 4_000_000, n_epochs: int =
     """End-to-end change-apply throughput INCLUDING the sink: stream
     n_epochs binlog files through CdcPipeline into a MOR table
     (delta appends + compaction) — the metric BASELINE.json names."""
-    from kahi_spark.gen import generate_events_spark
     from kahi_spark.sinks.snapshot import SnapshotTable
     from kahi_spark.streaming.pipeline import CdcPipeline
 
+    event_dir = cached_events(n_events, n_epochs, "pipe")
     spark = fresh_session(f"local[{CPUS}]", CPUS)
-    event_dir = os.path.join(tmp, "pipe-events")
-    generate_events_spark(spark, n_events, event_dir, n_files=n_epochs)
     table = SnapshotTable(
         spark, os.path.join(tmp, "pipe-table"), n_buckets=CPUS, mode="mor", compact_every=4
     )
@@ -237,19 +258,29 @@ def main() -> None:
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
 
-    spark = fresh_session(f"local[{CPUS}]", CPUS)
-    # warmup: touch every input once (page cache + codegen)
-    run_headline(spark)
-    queries = run_headline(spark)
-    spark.stop()
+    # scaling FIRST: the north-rule metric must get both interleaved
+    # rounds before the soft deadline can trim anything
+    scaling = {}
+    if os.environ.get("KAHI_BENCH_SKIP_SCALING") != "1":
+        scaling = run_scaling(tmp)
 
     pipeline = {}
     if os.environ.get("KAHI_BENCH_SKIP_PIPELINE") != "1":
         pipeline = run_pipeline_throughput(tmp)
 
-    scaling = {}
-    if os.environ.get("KAHI_BENCH_SKIP_SCALING") != "1":
-        scaling = run_scaling(tmp)
+    spark = fresh_session(f"local[{CPUS}]", CPUS)
+    # warmup at the SMALL scale factor: identical plan shapes warm
+    # codegen/JIT per query at a fraction of the cost (a full-SF
+    # warmup pass doubled the headline phase); the target-SF feed
+    # cache is pre-built so multisource timing excludes the one-time
+    # serialization
+    warm = SF_DIR.replace("sf0.1", "sf0.01")
+    run_headline(spark, warm if os.path.isdir(warm) else SF_DIR)
+    from kahi_spark.queries_ext import _feed_path
+
+    _feed_path(spark, SF_DIR)
+    queries = run_headline(spark)
+    spark.stop()
 
     total = round(sum(queries.values()), 3)
     print(

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -114,19 +115,59 @@ def _int_dot(q: Column, plane: list[int]) -> Column:
     )
 
 
+def _buckets_pandas_udf(planes: list[list[list[int]]]):
+    """Arrow-batched bucket computation: one numpy int64 matmul per
+    batch replaces n_tables×n_planes interpreted HOF dot products per
+    row — the vectorized fast path for 10^9-vector corpora.
+
+    Bit-exact with the JVM expressions AND the DuckDB oracle:
+    quantization uses round-half-AWAY-FROM-ZERO explicitly (numpy's
+    np.round is half-to-even, which would flip buckets on exact .5
+    values like 0.0625·1000)."""
+    import numpy as np
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.array(
+        [plane for tbl in planes for plane in tbl], dtype=np.int64
+    ).T  # (dim, n_tables*n_planes)
+    n_tables, n_planes = len(planes), len(planes[0])
+    weights = np.array([1 << p for p in range(n_planes)], dtype=np.int64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        v = np.asarray(vecs.tolist(), dtype=np.float64) * LSH_SCALE
+        q = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        bits = (q @ mat) > 0  # (n, n_tables*n_planes)
+        b = bits.reshape(len(v), n_tables, n_planes).astype(np.int64) @ weights
+        return pd.Series(list(b))
+
+    return buckets
+
+
 def bucketed_lsh(
     df: DataFrame,
     planes: list[list[list[int]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     prefix: str = "probe",
+    vectorized: bool = True,
 ) -> DataFrame:
     """(id, v, nrm) + one row per LSH table with the integer bucket
-    (sign bits of the quantized dot products)."""
+    (sign bits of the quantized dot products). ``vectorized`` routes
+    bucket computation through the Arrow/numpy matmul (default — the
+    JVM higher-order-function fold is kept as the dependency-free
+    path and the cross-check in tests)."""
     n_tables = len(planes)
-    base = _with_norm(df, id_col, vec_col, prefix).withColumn(
-        "_q", quantize_expr(F.col(f"{prefix}_v"))
-    )
+    base = _with_norm(df, id_col, vec_col, prefix)
+    if vectorized:
+        udf = _buckets_pandas_udf(planes)
+        return (
+            base.withColumn("_bk", udf(F.col(f"{prefix}_v")))
+            .select("*", F.posexplode("_bk").alias("table_idx", "bucket"))
+            .drop("_bk")
+        )
+    base = base.withColumn("_q", quantize_expr(F.col(f"{prefix}_v")))
 
     def bucket_expr(t: int) -> Column:
         out = F.lit(0).cast("long")

@@ -109,3 +109,27 @@ def test_ivf_knn_recall_at_small_nprobe(spark):
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.4, recall  # clustered data; generous floor for
     # float-nondeterministic centroid boundaries
+
+
+def test_lsh_bucketing_vectorized_matches_jvm(spark):
+    """The Arrow/numpy bucket matmul must produce bit-identical
+    buckets to the JVM higher-order-function fold (both must match
+    the DuckDB oracle's integer arithmetic) — including the
+    round-half-away-from-zero edge (numpy's default is half-to-even;
+    0.0625·1000 = 62.5 exactly)."""
+    from kahi_spark.operators.similarity import bucketed_lsh, lsh_planes
+
+    rows = [(i, [((i * 7 + j) % 13 - 6) / 16.0 for j in range(64)]) for i in range(50)]
+    rows.append((100, [0.0625] * 64))   # exact .5 after ×1000
+    rows.append((101, [-0.0625] * 64))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = lsh_planes(dim=64, n_planes=8, n_tables=4, seed=42)
+    fast = {
+        (r.x_id, r.table_idx): r.bucket
+        for r in bucketed_lsh(emb, planes, prefix="x", vectorized=True).collect()
+    }
+    slow = {
+        (r.x_id, r.table_idx): r.bucket
+        for r in bucketed_lsh(emb, planes, prefix="x", vectorized=False).collect()
+    }
+    assert fast == slow and len(fast) == 52 * 4
