@@ -1339,6 +1339,23 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 grouping sets: ROLLUP (hierarchical subtotals — the
+    companion to the gated CUBE entry)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ORACLE_ROLLUP_REVENUE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def q_intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 set ops: INTERSECT (customers in the BUILDING segment who
     actually placed orders)."""
@@ -1464,6 +1481,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "colav_similarity_match": q_colav_similarity_match,
     "session_window_native": q_session_window_native,
     "intersect_custkeys": q_intersect_custkeys,
+    "rollup_revenue": q_rollup_revenue,
     "token_bpe": q_token_bpe,
     "quality_score": q_quality_score,
     "simhash_neardup": q_simhash_neardup,
@@ -1489,6 +1507,7 @@ ORACLES_EXT: dict[str, str] = {
     "id_assignment": ORACLE_ID_ASSIGNMENT,
     "session_window_native": ORACLE_SESSION_WINDOW,
     "intersect_custkeys": ORACLE_INTERSECT,
+    "rollup_revenue": ORACLE_ROLLUP_REVENUE,
     "token_bpe": ORACLE_TOKEN_BPE,
     "quality_score": ORACLE_QUALITY_SCORE,
     "simhash_neardup": _oracle_simhash(),
