@@ -114,3 +114,71 @@ def test_pipeline_with_dedup_index(spark, tmp_path):
     # c9's text near-dups c1's (ingested one epoch earlier) → dropped
     assert out == ["c1", "c3"]
     assert sum(m["n_deduped"] for m in metrics) == 1
+
+
+def test_pipeline_all_hooks_together(spark, tmp_path):
+    """keyless resolve → incremental dedup → multi-source convergence
+    in ONE pipeline run: the hooks compose in that order without
+    interfering (resolution keys events so dedup sees real keys;
+    dedup drops before convergence so duplicates can't contribute
+    fields)."""
+    import os
+
+    import pandas as pd
+
+    from kahi_spark.sinks.snapshot import SnapshotTable
+    from kahi_spark.streaming.pipeline import CdcPipeline
+
+    event_dir = str(tmp_path / "binlog")
+    os.makedirs(event_dir)
+
+    def pdf(rows):
+        df = pd.DataFrame(
+            rows,
+            columns=["seq", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts", "source"],
+        )
+        df["turn_idx"] = df["turn_idx"].astype("int32")
+        df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+        for c in ("conv_id", "tool"):
+            df[c] = pd.array(df[c], dtype="string")
+        return df
+
+    # epoch 0: two sources describe (a1, 0) — lens has text, wos has
+    # the tool; plus an unrelated doc
+    pdf([
+        (0, "insert", "a1", 0, "USER", _BASE, None, _t(0), "lens"),
+        (1, "insert", "a1", 0, "human", _BASE, "search", _t(1), "wos"),
+        (2, "insert", "a2", 5, "ai", _OTHER, None, _t(2), "lens"),
+    ]).to_parquet(f"{event_dir}/b0.parquet", index=False)
+    # epoch 1: a KEYLESS update whose text matches (a2, 5)'s — must
+    # adopt a2; and a near-dup insert under a new key — must be dropped
+    pdf([
+        (10, "update", None, 5, "ai", _OTHER, "sql", _t(10), "lens"),
+        (11, "insert", "zz", 3, "ai", _NEARDUP, None, _t(11), "lens"),
+    ]).to_parquet(f"{event_dir}/b1.parquet", index=False)
+
+    from kahi_spark.sinks.dedup_index import LshDedupIndex
+
+    table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=2)
+    idx = LshDedupIndex(spark, str(tmp_path / "idx"), threshold=0.8)
+    pipe = CdcPipeline(
+        spark,
+        event_dir,
+        table,
+        str(tmp_path / "ck"),
+        resolve_keyless=True,
+        dedup_index=idx,
+        converge_sources=("lens", "wos"),
+        policies={"tool": "fill_empty"},
+    )
+    metrics = pipe.run_until_idle()
+    rows = {(r.conv_id, r.turn_idx): r for r in table.read().collect()}
+
+    # convergence: one canonical (a1, 0) with lens text AND wos tool
+    assert set(rows) == {("a1", 0), ("a2", 5)}
+    assert rows[("a1", 0)].tool == "search"
+    assert rows[("a1", 0)].role == "user"  # canonicalized from USER/human
+    # keyless event adopted a2 and its update landed (tool filled)
+    assert rows[("a2", 5)].tool == "sql"
+    # near-dup 'zz' was dropped by the index
+    assert sum(m["n_deduped"] for m in metrics) >= 1
