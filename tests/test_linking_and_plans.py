@@ -40,9 +40,15 @@ def test_staged_lookup_id_then_alias(spark):
             "key", F.col("probe_id").alias("dim_id")
         ),
     )
-    out = staged_lookup([stage_ids, stage_alias], probe_id="probe_id", dim_id="dim_id")
-    got = {r.probe_id: (r.dim_id, r.stage) for r in out.collect()}
-    assert got == {1: (100, 0), 2: (101, 1), 4: (101, 0)}  # 3 unresolved
+    expect = {1: (100, 0), 2: (101, 1), 4: (101, 0)}  # 3 unresolved
+    # both plan shapes must agree: single-pass (one join + one window)
+    # and the per-stage anti-join cascade
+    for sp in (True, False):
+        out = staged_lookup(
+            [stage_ids, stage_alias], probe_id="probe_id", dim_id="dim_id", single_pass=sp
+        )
+        got = {r.probe_id: (r.dim_id, r.stage) for r in out.collect()}
+        assert got == expect, (sp, got)
 
 
 def _plan(df) -> str:
