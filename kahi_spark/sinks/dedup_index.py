@@ -18,6 +18,14 @@ Epoch-keyed subdirectories make writes idempotent: a re-delivered
 epoch overwrites its own files byte-identically (the same
 exactly-once story as the snapshot sink's ledger).
 
+Scale notes (10^10 keys): the per-epoch candidate join shuffles BOTH
+sides on ``(band_idx, band_sig)`` in this parquet stand-in. On a real
+cluster the bands table should live as an Iceberg table bucketed by
+``band_sig`` so the lookup is a storage-partitioned join — the index
+side is never reshuffled, only the (small) batch side moves; the
+verification joins broadcast the candidate set so the signature
+tables are probed in place either way.
+
 Reference analogue: the in-memory similarity candidate lists that
 Kahi preloads and shrinks as records are consumed
 (``KahiDb.py:161-242``, ``Kahi.py:195-199``) — here the "list" is a
@@ -170,9 +178,13 @@ class LshDedupIndex:
             )
             .distinct()
         )
+        # candidates are a small fraction of the batch — broadcast them
+        # so the (large) signature tables are probed in place instead
+        # of reshuffled per epoch
         all_sigs = self.existing_sigs().unionByName(new_sigs)
         verified = (
-            cand.join(new_sigs.withColumnRenamed("sig", "_s1"), on="key")
+            new_sigs.withColumnRenamed("sig", "_s1")
+            .join(F.broadcast(cand), on="key")
             .join(
                 all_sigs.select(
                     F.col("key").alias("match_key"), F.col("sig").alias("_s2")
