@@ -1,0 +1,149 @@
+"""Scale probe for the training-data dedup/similarity SCALE PATHS:
+runs them on synthetic corpora 20× the sf0.1 bench tables (100k docs
+/ 100k vectors, generated distributed — nothing ever collects to the
+driver) and prints one JSON line of walls + result counts. Evidence
+for the would-it-survive-100× question; results recorded in
+BASELINE.md.
+
+Usage: python scripts/scale_probe.py [n_docs] [n_vecs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+N_VECS = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+VOCAB = [f"w{i}" for i in range(5000)]
+
+
+def gen_docs(spark, n: int):
+    """n documents of 60 words from a 5k vocab; every 100th doc is a
+    planted near-dup of its predecessor (one word changed)."""
+    base = spark.range(n).withColumnRenamed("id", "doc_id")
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    # the text of doc k is a pure function of k so planted dups can
+    # reference their neighbor's text without a join
+    def text_of(k):
+        words = F.transform(
+            F.sequence(F.lit(0), F.lit(59)),
+            lambda j: F.element_at(
+                vocab, (F.pmod(F.xxhash64(k * 100 + j), F.lit(len(VOCAB))) + 1).cast("int")
+            ),
+        )
+        return F.concat_ws(" ", words)
+
+    is_dup = (F.col("doc_id") % 100 == 1) & (F.col("doc_id") > 0)
+    text = F.when(
+        is_dup, F.concat(text_of(F.col("doc_id") - 1), F.lit(" changed"))
+    ).otherwise(text_of(F.col("doc_id")))
+    return base.select("doc_id", text.alias("text"))
+
+
+def gen_vecs(spark, n: int, dim: int = 64, n_clusters: int = 50):
+    """n vectors in LOOSE clusters (same-cluster cosine ≈ 0.5-0.6 —
+    below any near-dup threshold, so only the planted pairs are true
+    positives; a ±0.1-noise version made every within-cluster pair a
+    genuine ≥0.95 near-dup and the probe output itself was ~10^8
+    rows); every 100th vector is a planted near-dup of its
+    predecessor (tiny deterministic nudge)."""
+    base = spark.range(n).withColumnRenamed("id", "vec_id")
+    center = F.pmod(F.col("vec_id"), F.lit(n_clusters))
+
+    def vec_of(k, cent):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                F.pmod(F.xxhash64(cent * 1000 + j), F.lit(2001)).cast("double") / 1000.0
+                - 1.0
+                + (
+                    F.pmod(F.xxhash64(k * 7919 + j), F.lit(1601)).cast("double") / 1000.0
+                    - 0.8
+                )
+            ),
+        )
+
+    is_dup = (F.col("vec_id") % 100 == 1) & (F.col("vec_id") > 0)
+    prev_center = F.pmod(F.col("vec_id") - 1, F.lit(n_clusters))
+    v = F.when(
+        is_dup,
+        F.transform(
+            vec_of(F.col("vec_id") - 1, prev_center), lambda x: x + F.lit(0.003)
+        ),
+    ).otherwise(vec_of(F.col("vec_id"), center))
+    return base.select("vec_id", v.alias("embedding"))
+
+
+def main():
+    from kahi_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        shingle_df,
+        simhash_neardup_pairs,
+        verify_jaccard,
+    )
+    from kahi_spark.operators.similarity import knn_lsh, lsh_cosine_pairs
+    from kahi_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="scale_probe", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    tmp = "/tmp/kahi_scale_probe"
+    out = {"n_docs": N_DOCS, "n_vecs": N_VECS}
+
+    docs_path, vecs_path = f"{tmp}/docs", f"{tmp}/vecs"
+    if not os.path.exists(docs_path):
+        gen_docs(spark, N_DOCS).write.mode("overwrite").parquet(docs_path)
+    if not os.path.exists(vecs_path):
+        gen_vecs(spark, N_VECS).write.mode("overwrite").parquet(vecs_path)
+    docs = spark.read.parquet(docs_path)
+    vecs = spark.read.parquet(vecs_path)
+
+    def phase(name, fn):
+        t0 = time.time()
+        res = fn()
+        out[name] = {"wall_s": round(time.time() - t0, 1), **res}
+        print(f"# {name}: {out[name]}", file=sys.stderr, flush=True)
+
+    phase(
+        "minhash_lsh_verify",
+        lambda: {
+            "pairs": verify_jaccard(
+                minhash_lsh_pairs(docs, id_col="doc_id", n_hashes=64, n_bands=16),
+                shingle_df(docs),
+                threshold=0.8,
+            ).count()
+        },
+    )
+    phase(
+        "simhash64_banded",
+        lambda: {"pairs": simhash_neardup_pairs(docs, id_col="doc_id", max_hamming=3).count()},
+    )
+    # clustered corpora need MORE planes: at 8 planes whole clusters
+    # share buckets and the candidate join goes quadratic inside them
+    # (observed: 100k clustered vectors at 8 planes blew past 10 min;
+    # 14 planes cut candidates ~50×). Parameter choice IS the scale
+    # lever for dense data.
+    phase(
+        "lsh_cosine_neardup_14planes",
+        lambda: {"pairs": lsh_cosine_pairs(vecs, threshold=0.95, n_planes=14).count()},
+    )
+    phase(
+        "knn_lsh_100probes_14planes",
+        lambda: {
+            "rows": knn_lsh(
+                vecs.filter(F.col("vec_id") < 100), vecs, k=10, n_planes=14
+            ).count()
+        },
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
