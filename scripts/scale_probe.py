@@ -25,17 +25,20 @@ VOCAB = [f"w{i}" for i in range(5000)]
 
 
 def gen_docs(spark, n: int):
-    """n documents of 60 words from a 5k vocab; every 100th doc is a
-    planted near-dup of its predecessor (one word changed)."""
+    """n documents of 20-200 words (realistic length spread — the
+    keyless resolver's length-bucket blocking needs variance) from a
+    5k vocab; every 100th doc is a planted near-dup of its
+    predecessor (one word changed)."""
     base = spark.range(n).withColumnRenamed("id", "doc_id")
     vocab = F.array(*[F.lit(w) for w in VOCAB])
     # the text of doc k is a pure function of k so planted dups can
     # reference their neighbor's text without a join
     def text_of(k):
+        n_words = F.pmod(F.xxhash64(k * 31), F.lit(181)) + 19
         words = F.transform(
-            F.sequence(F.lit(0), F.lit(59)),
+            F.sequence(F.lit(0), n_words.cast("int")),
             lambda j: F.element_at(
-                vocab, (F.pmod(F.xxhash64(k * 100 + j), F.lit(len(VOCAB))) + 1).cast("int")
+                vocab, (F.pmod(F.xxhash64(k * 1000 + j), F.lit(len(VOCAB))) + 1).cast("int")
             ),
         )
         return F.concat_ws(" ", words)
@@ -142,6 +145,39 @@ def main():
             ).count()
         },
     )
+
+    def keyless_phase():
+        from kahi_spark.operators.keyless import resolve_keyless_events
+
+        state = docs.select(
+            F.concat(F.lit("s"), F.col("doc_id").cast("string")).alias("conv_id"),
+            F.pmod(F.col("doc_id"), F.lit(25)).cast("int").alias("turn_idx"),
+            F.when(F.col("doc_id") % 2 == 0, "user").otherwise("assistant").alias("role"),
+            "text",
+        )
+        probes = docs.filter(F.col("doc_id") % 20 == 3).select(
+            (F.col("doc_id") + 1_000_000_000).alias("seq"),
+            F.lit("update").alias("op"),
+            F.lit(None).cast("string").alias("conv_id"),
+            F.pmod(F.col("doc_id"), F.lit(25)).cast("int").alias("turn_idx"),
+            F.when(F.col("doc_id") % 2 == 0, "user").otherwise("assistant").alias("role"),
+            "text",
+            F.col("doc_id").alias("_truth"),
+        )
+        resolved = resolve_keyless_events(probes.drop("_truth"), state)
+        correct = (
+            resolved.join(
+                probes.select("seq", "_truth"), on="seq"
+            )
+            .filter(
+                F.col("conv_id") == F.concat(F.lit("s"), F.col("_truth").cast("string"))
+            )
+            .count()
+        )
+        total = probes.count()
+        return {"probes": total, "correct": correct}
+
+    phase("keyless_resolve_vs_100k_state", keyless_phase)
     print(json.dumps(out))
 
 
