@@ -34,5 +34,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from kahi_spark.queries import ORACLES
+    from kahi_spark.queries_ext import ensure_oracle_fixtures
 
+    # some oracles read filesystem fixtures (worklist CSV, expected-
+    # assets parquet); materialize them now so the driver may run the
+    # DuckDB side first (the Spark side also ensures them lazily)
+    ensure_oracle_fixtures()
     return dict(ORACLES)

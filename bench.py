@@ -72,7 +72,11 @@ GEN_CACHE = "/tmp/kahi_bench_gen_cache"
 def cached_events(n_events: int, n_files: int, tag: str) -> str:
     import uuid
 
-    path = os.path.join(GEN_CACHE, f"{tag}-{n_events}-{n_files}")
+    from kahi_spark.gen import GEN_EVENTS_VER
+
+    # generator version in the key: an edit to generate_events_spark
+    # must invalidate previously cached inputs (ADVICE r2)
+    path = os.path.join(GEN_CACHE, f"{tag}-v{GEN_EVENTS_VER}-{n_events}-{n_files}")
     if not os.path.exists(path):
         os.makedirs(GEN_CACHE, exist_ok=True)
         from kahi_spark.gen import generate_events_spark

@@ -128,6 +128,13 @@ def make_multisource_events(n_convs: int = 20, seed: int = 7) -> pd.DataFrame:
     return df
 
 
+#: bump when generate_events_spark's OUTPUT changes for the same
+#: parameters — bench.py folds this into its cross-run /tmp cache key
+#: so a generator edit can never silently reuse stale cached inputs
+#: (same contract as queries_ext._FEED_CACHE_VER)
+GEN_EVENTS_VER = 1
+
+
 def generate_events_spark(
     spark,
     n_events: int,

@@ -92,7 +92,44 @@ def _parse_header(payload: bytes | None) -> tuple[int | None, int | None, int | 
         sample_rate = int.from_bytes(b[24:28], "little")
         channels = int.from_bytes(b[22:24], "little")
         return n, sample_rate, channels
+    if n >= 12 and b[4:8] == b"ftyp":  # ISO BMFF (MP4/MOV)
+        w, h = _mp4_dims(b)
+        return n, w, h
     return n, None, None
+
+
+def _mp4_dims(b: bytes) -> tuple[int | None, int | None]:
+    """Real ISO-BMFF box walk: ``moov`` → ``trak`` → ``tkhd``; track
+    width/height are the last 8 bytes of the tkhd payload as 16.16
+    fixed-point (same position for tkhd v0 and v1). Pure Python —
+    the container-level analogue of the RIFF chunk walk; pixel
+    decoding would need a codec library and stays out of scope."""
+
+    def find(start: int, end: int, path: list[bytes]) -> tuple[int, int] | None:
+        pos = start
+        while pos + 8 <= end:
+            size = int.from_bytes(b[pos : pos + 4], "big")
+            typ = b[pos + 4 : pos + 8]
+            if size < 8:
+                return None
+            if typ == path[0]:
+                inner = (pos + 8, min(pos + size, end))
+                if len(path) == 1:
+                    return inner
+                hit = find(inner[0], inner[1], path[1:])
+                if hit:
+                    return hit
+            pos += size
+        return None
+
+    span = find(0, len(b), [b"moov", b"trak", b"tkhd"])
+    if span is None or span[1] - span[0] < 84:
+        return None, None
+    _, e = span
+    return (
+        int.from_bytes(b[e - 8 : e - 4], "big") >> 16,
+        int.from_bytes(b[e - 4 : e], "big") >> 16,
+    )
 
 
 def decode_image_batch(df: DataFrame, real_codec: bool = False) -> DataFrame:
@@ -241,29 +278,89 @@ def _wav_bytes(sample_rate: int, channels: int, samples: list[int] | None = None
     return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + body
 
 
-def make_real_assets(spark, n: int = 60) -> DataFrame:
-    """Deterministic asset table with GENUINE container payloads
-    (valid PNG/BMP/GIF headers + WAV RIFF chunks), so the real-codec
-    decode path is exercised on real bytes."""
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + typ + payload
+
+
+def _mp4_bytes(w: int, h: int, duration: int = 1000) -> bytes:
+    """Minimal valid ISO-BMFF: ftyp + moov/trak/tkhd (v0, unity
+    matrix, 16.16 fixed-point track dims)."""
+    tkhd = bytes(4)  # version 0 + flags
+    tkhd += bytes(8)  # ctime, mtime
+    tkhd += (1).to_bytes(4, "big") + bytes(4) + duration.to_bytes(4, "big")
+    tkhd += bytes(8)  # reserved
+    tkhd += bytes(8)  # layer, alt_group, volume, reserved
+    tkhd += b"".join(
+        x.to_bytes(4, "big")
+        for x in (0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+    )
+    tkhd += (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big")
+    moov = _box(b"moov", _box(b"trak", _box(b"tkhd", tkhd)))
+    ftyp = _box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
+    return ftyp + moov
+
+
+def _real_asset_rows(n: int, n_video: int) -> list[tuple]:
+    """(asset_id, kind, payload, mime, expected_w, expected_h):
+    construction-time ground truth — the dims fed INTO each builder
+    (NOT re-parsed from the bytes), so an oracle built from these
+    rows is independent of the decode path it checks."""
     rows = []
-    for i in range(n):
+    for i in range(n + n_video):
         w, h = 16 + (i * 13) % 640, 16 + (i * 7) % 480
+        if i >= n:  # appended MP4 videos (ids stay stable for tests)
+            rows.append((i, "video", _mp4_bytes(w, h), "video/mp4", w, h))
+            continue
         fmt = i % 4
         if fmt == 0:
-            payload, kind, mime = _png_bytes(w, h), "image", "image/png"
+            rows.append((i, "image", _png_bytes(w, h), "image/png", w, h))
         elif fmt == 1:
-            payload, kind, mime = _bmp_bytes(w, h), "image", "image/bmp"
+            rows.append((i, "image", _bmp_bytes(w, h), "image/bmp", w, h))
         elif fmt == 2:
-            payload, kind, mime = _gif_bytes(w % 4096, h % 4096), "image", "image/gif"
+            wg, hg = w % 4096, h % 4096
+            rows.append((i, "image", _gif_bytes(wg, hg), "image/gif", wg, hg))
         else:
             pcm = [((i * 31 + j * 17) % 1000) - 500 for j in range(24 + i % 8)]
-            payload, kind, mime = (
-                _wav_bytes(8000 + 100 * i, 1 + i % 2, samples=pcm),
-                "audio",
-                "audio/wav",
-            )
-        rows.append((i, kind, payload, mime, {"fmt": mime}))
+            sr, ch = 8000 + 100 * i, 1 + i % 2
+            rows.append((i, "audio", _wav_bytes(sr, ch, samples=pcm), "audio/wav", sr, ch))
+    return rows
+
+
+def make_real_assets(spark, n: int = 60, n_video: int = 0) -> DataFrame:
+    """Deterministic asset table with GENUINE container payloads
+    (valid PNG/BMP/GIF headers, WAV RIFF chunks, MP4 moov/trak/tkhd
+    boxes), so the real-codec decode path is exercised on real bytes.
+    ``n_video`` MP4 assets are appended AFTER the n image/audio ids."""
+    rows = [
+        (i, kind, payload, mime, {"fmt": mime})
+        for i, kind, payload, mime, _w, _h in _real_asset_rows(n, n_video)
+    ]
     return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def expected_real_assets(n: int = 60, n_video: int = 0) -> pd.DataFrame:
+    """Generator-side ground truth for ``make_real_assets``: what a
+    correct decode must return, known at construction (dims fed into
+    the builders, byte length, crc32). Pure Python — no Spark — so an
+    oracle fixture can be written before any engine runs."""
+    recs = [
+        {
+            "asset_id": i,
+            "kind": kind,
+            "n_bytes": len(payload),
+            "width": w,
+            "height": h,
+            "checksum": zlib.crc32(payload) & 0x7FFFFFFF,
+        }
+        for i, kind, payload, _mime, w, h in _real_asset_rows(n, n_video)
+    ]
+    out = pd.DataFrame(recs)
+    out["asset_id"] = out["asset_id"].astype("int64")
+    out["kind"] = out["kind"].astype(str)
+    for c in ("n_bytes", "width", "height"):
+        out[c] = out[c].astype("Int32")
+    out["checksum"] = out["checksum"].astype("Int64")
+    return out
 
 
 def make_fake_assets(spark, n: int = 100, seed: int = 7) -> DataFrame:

@@ -137,7 +137,13 @@ def _buckets_pandas_udf(planes: list[list[list[int]]]):
     @pandas_udf(T.ArrayType(T.LongType()))
     def buckets(vecs: pd.Series) -> pd.Series:
         v = np.asarray(vecs.tolist(), dtype=np.float64) * LSH_SCALE
-        q = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        # true round-half-away-from-zero: floor(|v|) + (frac ≥ .5).
+        # NOT floor(|v| + 0.5) — for doubles one ULP below .5
+        # (0.49999999999999994) the addition rounds UP to exactly 1.0
+        # while the JVM/DuckDB paths round to 0, flipping a plane bit.
+        absv = np.abs(v)
+        fl = np.floor(absv)
+        q = (np.sign(v) * (fl + (absv - fl >= 0.5))).astype(np.int64)
         bits = (q @ mat) > 0  # (n, n_tables*n_planes)
         b = bits.reshape(len(v), n_tables, n_planes).astype(np.int64) @ weights
         return pd.Series(list(b))
@@ -296,16 +302,82 @@ def lsh_cosine_pairs(
     )
 
 
+def _centroid_norms(centroids: list[list[float]]) -> list[float]:
+    import math
+
+    return [math.sqrt(sum(x * x for x in c)) or 1.0 for c in centroids]
+
+
 def _argmax_cell(vcol: Column, nrm: Column, centroids: list[list[float]]) -> Column:
     """1-based index of the max-cosine centroid (ties → first, i.e.
-    lowest cell id — deterministic)."""
+    lowest cell id — deterministic). Cosine divides by BOTH norms —
+    the centroid norm is a driver-side constant per cell, and without
+    it large-norm centroids attract vectors (argmax of unnormalized
+    dot ≠ spherical assignment)."""
+    norms = _centroid_norms(centroids)
     dots = F.array(
         *[
-            _dot(vcol, F.array(*[F.lit(x) for x in c])) / nrm
-            for c in centroids
+            _dot(vcol, F.array(*[F.lit(x) for x in c])) / (nrm * F.lit(n))
+            for c, n in zip(centroids, norms)
         ]
     )
     return F.array_position(dots, F.array_max(dots)).cast("int")
+
+
+def _cells_pandas_udf(centroids: list[list[float]], nprobe: int = 1):
+    """Arrow/numpy cell assignment: one float64 matmul per batch.
+
+    The literal-expression path (``_argmax_cell``) inlines
+    n_cells × dim literals into the plan — at n_cells in the
+    thousands the expression tree blows past codegen limits and falls
+    back to interpreted evaluation. This path keeps plan size O(1)
+    regardless of k (same shape as ``_buckets_pandas_udf``).
+
+    Returns the ``nprobe`` best cells (1-based) by cosine, best
+    first. Ties resolve to the LOWEST cell id (stable argsort),
+    matching ``_argmax_cell``'s first-max rule for nprobe=1; exact
+    double-cosine ties deeper in the ranking are vanishingly rare and
+    only perturb which approximate cells are probed, never the gated
+    nprobe=n_cells (exact) results."""
+    import numpy as np
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.asarray(centroids, dtype=np.float64).T  # (dim, k)
+    cnorm = np.asarray(_centroid_norms(centroids), dtype=np.float64)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells(vecs: pd.Series) -> pd.Series:
+        v = np.asarray(vecs.tolist(), dtype=np.float64)
+        # the vector's own norm is constant per row — argsort unaffected
+        scores = (v @ mat) / cnorm
+        idx = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe] + 1
+        return pd.Series(list(idx.astype("int32")))
+
+    return cells
+
+
+#: literal-budget above which cell assignment routes through the
+#: Arrow/numpy matmul instead of inlined plan literals
+_CELL_LITERAL_BUDGET = 4096
+
+
+def _assign_cells(
+    df: DataFrame,
+    vcol: str,
+    nrm: str,
+    centroids: list[list[float]],
+    vectorized: bool | None = None,
+) -> DataFrame:
+    """Add a 1-based ``cell`` column (max-cosine centroid). ``None``
+    auto-picks: JVM literals while the plan stays small, Arrow matmul
+    beyond ``_CELL_LITERAL_BUDGET`` literals."""
+    if vectorized is None:
+        vectorized = len(centroids) * len(centroids[0]) > _CELL_LITERAL_BUDGET
+    if vectorized:
+        udf = _cells_pandas_udf(centroids, nprobe=1)
+        return df.withColumn("cell", F.element_at(udf(F.col(vcol)), 1))
+    return df.withColumn("cell", _argmax_cell(F.col(vcol), F.col(nrm), centroids))
 
 
 def ivf_centroids(
@@ -333,9 +405,8 @@ def ivf_centroids(
     )
     centroids = [list(r.v) for r in seed_rows]
     for _ in range(iters):
-        assigned = base.select(
-            _argmax_cell(F.col("x_v"), F.col("x_nrm"), centroids).alias("cell"),
-            F.posexplode(F.col("x_v")).alias("dim", "val"),
+        assigned = _assign_cells(base, "x_v", "x_nrm", centroids).select(
+            "cell", F.posexplode(F.col("x_v")).alias("dim", "val")
         )
         means = (
             assigned.groupBy("cell", "dim")
@@ -372,27 +443,35 @@ def ivf_knn(
     machinery; recall at nprobe < n_cells is pytest-verified against
     ``knn_bruteforce``."""
     cents = centroids or ivf_centroids(corpus, n_cells, iters, id_col, vec_col)
-    c = _with_norm(corpus, id_col, vec_col, "neighbor").withColumn(
-        "cell", _argmax_cell(F.col("neighbor_v"), F.col("neighbor_nrm"), cents)
+    c = _assign_cells(
+        _with_norm(corpus, id_col, vec_col, "neighbor"), "neighbor_v", "neighbor_nrm", cents
     )
     p_base = _with_norm(probes, id_col, vec_col, "probe")
-    dots = F.array(
-        *[
-            F.struct(
-                (_dot(F.col("probe_v"), F.array(*[F.lit(x) for x in cent])) / F.col("probe_nrm")).alias("d"),
-                F.lit(i + 1).alias("cell"),
-            )
-            for i, cent in enumerate(cents)
-        ]
-    )
-    p = p_base.withColumn(
-        "cell",
-        F.explode(
-            F.transform(
-                F.slice(F.reverse(F.array_sort(dots)), 1, nprobe), lambda s: s["cell"]
-            )
-        ),
-    )
+    norms = _centroid_norms(cents)
+    if len(cents) * len(cents[0]) > _CELL_LITERAL_BUDGET:
+        topcells = _cells_pandas_udf(cents, nprobe=nprobe)
+        p = p_base.withColumn("cell", F.explode(topcells(F.col("probe_v"))))
+    else:
+        dots = F.array(
+            *[
+                F.struct(
+                    (
+                        _dot(F.col("probe_v"), F.array(*[F.lit(x) for x in cent]))
+                        / (F.col("probe_nrm") * F.lit(n))
+                    ).alias("d"),
+                    F.lit(i + 1).alias("cell"),
+                )
+                for i, (cent, n) in enumerate(zip(cents, norms))
+            ]
+        )
+        p = p_base.withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(F.reverse(F.array_sort(dots)), 1, nprobe), lambda s: s["cell"]
+                )
+            ),
+        )
     scored = c.join(
         F.broadcast(p),
         (F.col("probe_id") != F.col("neighbor_id")) & (p.cell == c.cell),

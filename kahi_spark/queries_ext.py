@@ -675,18 +675,34 @@ _WORKLIST_ROWS = (
 
 
 def _ensure_worklist_csv() -> str:
-    """Deterministic CSV fixture, written at import so the oracle can
-    read the same file regardless of which side the driver runs
-    first."""
-    if not os.path.exists(_WORKLIST_CSV):
-        tmp = _WORKLIST_CSV + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(_WORKLIST_ROWS)
-        os.replace(tmp, _WORKLIST_CSV)
+    """Deterministic CSV fixture. Called lazily (from the query and
+    from ``ensure_oracle_fixtures`` — NOT at import: importing a
+    library must not write to a world-shared /tmp path). If the path
+    already exists its CONTENT is validated and rewritten when it
+    differs (a stale or foreign file at the fixed path must never be
+    served to the oracle)."""
+    try:
+        with open(_WORKLIST_CSV) as fh:
+            if fh.read() == _WORKLIST_ROWS:
+                return _WORKLIST_CSV
+    except OSError:
+        pass
+    tmp = _WORKLIST_CSV + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write(_WORKLIST_ROWS)
+    os.replace(tmp, _WORKLIST_CSV)
     return _WORKLIST_CSV
 
 
-_ensure_worklist_csv()
+def ensure_oracle_fixtures() -> None:
+    """Materialize every filesystem fixture an oracle SQL string
+    references (worklist CSV, expected-assets parquet). The driver
+    may run the DuckDB side before the Spark side, so
+    ``__spark_entry__.oracle_sql()`` calls this once up front; the
+    corresponding ``queries()`` entries also ensure their own fixture
+    lazily (either order works, import stays side-effect-free)."""
+    _ensure_worklist_csv()
+    _ensure_expected_assets()
 
 
 def q_csv_worklist_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1447,16 +1463,57 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
-# §2.9.5: multimodal decode (mapInPandas; rows-only — binary decode
-# is not SQL-expressible, the driver records the weaker check)
+# §2.9.5: multimodal decode (mapInPandas over real container bytes).
+# The decode itself is not SQL-expressible, but its RESULT is exactly
+# checkable: the asset generator knows every payload's true
+# (width, height, n_bytes, crc32) at construction, so the ground
+# truth is persisted as a parquet fixture and the DuckDB oracle just
+# selects it — the mapInPandas header parsers are gated value-exact.
 # ---------------------------------------------------------------------------
+
+_EXPECTED_ASSETS_PQ = "/tmp/kahi_expected_assets_v1.parquet"
+_N_ASSETS, _N_VIDEO = 60, 15
+
+
+def _ensure_expected_assets() -> str:
+    """Write (or validate) the construction-time ground-truth fixture
+    the multimodal oracle reads. Content-checked when the path
+    already exists (never trust a stale/foreign file at a fixed /tmp
+    path); lazy — never runs at import."""
+    import pandas as pd
+
+    from kahi_spark.operators.multimodal import expected_real_assets
+
+    want = expected_real_assets(_N_ASSETS, _N_VIDEO)
+    try:
+        have = pd.read_parquet(_EXPECTED_ASSETS_PQ)
+        if have.shape == want.shape and have.reset_index(drop=True).equals(
+            want.reset_index(drop=True)
+        ):
+            return _EXPECTED_ASSETS_PQ
+    except Exception:
+        pass
+    tmp = _EXPECTED_ASSETS_PQ + f".tmp.{os.getpid()}"
+    want.to_parquet(tmp, index=False)
+    os.replace(tmp, _EXPECTED_ASSETS_PQ)
+    return _EXPECTED_ASSETS_PQ
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9.5: mapInPandas header decode over real PNG/BMP/GIF/WAV/MP4
+    bytes; oracle = the construction-time expectations fixture
+    (independent of the parse path being checked)."""
     from kahi_spark.operators.multimodal import decode_image_batch, make_real_assets
 
-    assets = make_real_assets(spark, n=60)
+    _ensure_expected_assets()
+    assets = make_real_assets(spark, n=_N_ASSETS, n_video=_N_VIDEO)
     return decode_image_batch(assets, real_codec=True)
+
+
+ORACLE_MULTIMODAL = f"""
+SELECT asset_id, kind, n_bytes, width, height, checksum
+FROM read_parquet('{_EXPECTED_ASSETS_PQ}')
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1514,5 +1571,7 @@ ORACLES_EXT: dict[str, str] = {
     "knn_lsh": _oracle_knn_lsh(),
     "knn_ivf": ORACLE_KNN_IVF,
     "embedding_neardup_lsh": _oracle_neardup_lsh(),
-    # multimodal_decode: intentionally no oracle (binary mapInPandas)
+    # binary decode is gated against the persisted construction-time
+    # ground truth (see _ensure_expected_assets)
+    "multimodal_decode": ORACLE_MULTIMODAL,
 }

@@ -122,6 +122,11 @@ def test_lsh_bucketing_vectorized_matches_jvm(spark):
     rows = [(i, [((i * 7 + j) % 13 - 6) / 16.0 for j in range(64)]) for i in range(50)]
     rows.append((100, [0.0625] * 64))   # exact .5 after ×1000
     rows.append((101, [-0.0625] * 64))
+    # one ULP below .5 after ×1000: 0.49999999999999994 + 0.5 == 1.0
+    # in float64, so a naive floor(|v|+0.5) rounds UP while the
+    # JVM/DuckDB paths round DOWN (the classic half-away pitfall)
+    rows.append((102, [0.49999999999999994 / 1000.0] * 64))
+    rows.append((103, [-0.49999999999999994 / 1000.0] * 64))
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     planes = lsh_planes(dim=64, n_planes=8, n_tables=4, seed=42)
     fast = {
@@ -132,4 +137,54 @@ def test_lsh_bucketing_vectorized_matches_jvm(spark):
         (r.x_id, r.table_idx): r.bucket
         for r in bucketed_lsh(emb, planes, prefix="x", vectorized=False).collect()
     }
-    assert fast == slow and len(fast) == 52 * 4
+    assert fast == slow and len(fast) == 54 * 4
+
+
+def test_ivf_vectorized_cell_assignment_bounds_plan(spark):
+    """At n_cells×dim past the literal budget, cell assignment must
+    route through the Arrow matmul: the plan stays O(1) in k instead
+    of inlining n_cells×dim literals (16k doubles at 256×64 blows
+    codegen), and nprobe=n_cells stays exactly brute force."""
+    from kahi_spark.operators.similarity import (
+        _assign_cells,
+        _with_norm,
+        ivf_knn,
+        knn_bruteforce,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = [[((i * 13 + j) % 29 - 14) / 10.0 for j in range(64)] for i in range(256)]
+    base = _with_norm(emb.limit(50), "vec_id", "embedding", "x")
+    assigned = _assign_cells(base, "x_v", "x_nrm", cents)  # auto → vectorized
+    plan = assigned._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 20_000, f"plan inlines centroid literals ({len(plan)} chars)"
+    cells = [r.cell for r in assigned.collect()]
+    assert all(1 <= c <= 256 for c in cells) and len(set(cells)) > 1
+    # large-k end-to-end: full-probe IVF (vectorized assignment on
+    # both sides) still equals brute force
+    probes = emb.filter("vec_id < 3")
+    exact = sorted(map(tuple, knn_bruteforce(probes, emb, k=3).collect()))
+    ivf = sorted(
+        map(
+            tuple,
+            ivf_knn(probes, emb, k=3, n_cells=256, nprobe=256, centroids=cents).collect(),
+        )
+    )
+    assert ivf == exact
+
+
+def test_argmax_cell_uses_centroid_norm(spark):
+    """A large-norm centroid must not attract a vector that is more
+    COSINE-similar to a small-norm one (spherical semantics)."""
+    from kahi_spark.operators.similarity import _assign_cells, _with_norm
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    # centroid 1 points at the vector (cos 1.0, tiny norm); centroid 2
+    # is 45° off but 100× the magnitude (bigger raw dot)
+    cents = [[0.01, 0.0], [70.0, 70.0]]
+    base = _with_norm(emb, "vec_id", "embedding", "x")
+    for vec in (False, True):
+        got = _assign_cells(base, "x_v", "x_nrm", cents, vectorized=vec).collect()[0].cell
+        assert got == 1, f"vectorized={vec}: unnormalized dot won ({got})"

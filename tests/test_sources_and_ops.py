@@ -134,6 +134,32 @@ def test_multimodal_real_header_decode(spark):
         assert r.n_bytes > 0
 
 
+def test_multimodal_mp4_box_walk(spark):
+    """Real ISO-BMFF parsing: moov→trak→tkhd walk recovers the track
+    dims from hand-built minimal MP4 bytes (closing the last video
+    container stub; pixel decode still honestly needs codec libs)."""
+    from kahi_spark.operators.multimodal import (
+        _mp4_bytes,
+        _mp4_dims,
+        decode_image_batch,
+        expected_real_assets,
+        make_real_assets,
+    )
+
+    assert _mp4_dims(_mp4_bytes(640, 360)) == (640, 360)
+    assert _mp4_dims(b"\x00\x00\x00\x08ftyp") == (None, None)  # no moov
+    assets = make_real_assets(spark, n=8, n_video=4)  # ids 8..11 = mp4
+    got = {r.asset_id: r for r in decode_image_batch(assets, real_codec=True).collect()}
+    exp = expected_real_assets(8, 4).set_index("asset_id")
+    assert len(got) == 12
+    for i in range(12):
+        r, e = got[i], exp.loc[i]
+        assert (r.kind, r.n_bytes, r.width, r.height, r.checksum) == (
+            e["kind"], e["n_bytes"], e["width"], e["height"], e["checksum"]
+        ), i
+    assert all(got[i].kind == "video" for i in range(8, 12))
+
+
 def test_conversation_stats_applyinpandas(spark):
     import datetime as dt
 
