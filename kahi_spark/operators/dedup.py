@@ -14,7 +14,7 @@ construction, so no skew; candidates are a tiny fraction of pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Mersenne prime modulus for the universal-hash permutation family
@@ -309,6 +309,110 @@ def with_simhash32_md5(
             F.lit(0).cast("long")
         )
     return sums.select(F.col(id_col), fp.alias("simhash32"))
+
+
+def h60_md5_expr(col: Column) -> Column:
+    """Portable 60-bit hash: the first 15 hex digits of md5 as a
+    signed long. Renders identically in Spark
+    (``conv(substr(md5(x),1,15),16,10)``) and DuckDB
+    (``('0x'||substr(md5(x),1,15))::BIGINT``) — 60 bits keeps the
+    value inside the signed-64 range so the ANSI cast never throws.
+    The engine-portable stand-in for ``xxhash64`` wherever an oracle
+    must mirror hashing bit-for-bit."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def with_simhash60_md5(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PORTABLE 60-bit SimHash over distinct word-3gram shingles: bit
+    b of the fingerprint votes by bit b of the shingle's ``h60`` md5
+    hash — both engines compute the identical fingerprint, so the
+    oracle mirrors it bit-for-bit (the wide-band replacement for the
+    32-bit ``with_simhash32_md5``: 15-bit bands give a 32k-value band
+    key space instead of 256, which is what survives 10^8+ docs).
+
+    Shape: explode shingles → one h60 per shingle (md5 materialized
+    once, its own projection — CollapseProject would otherwise
+    re-hash per vote) → 60 ±1 vote sums per doc (one map-side-
+    combinable aggregation) → sign fold into a 60-bit long.
+    """
+    toks = shingle_df(docs, id_col=id_col, text_col=text_col, n=3).withColumnRenamed(
+        "shingle", "tok"
+    )
+    hashed = toks.select(id_col, h60_md5_expr(F.col("tok")).alias("h"))
+    votes = hashed.select(
+        id_col,
+        *[
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias(f"v{b}")
+            for b in range(60)
+        ],
+    )
+    sums = votes.groupBy(id_col).agg(*[F.sum(f"v{b}").alias(f"v{b}") for b in range(60)])
+    fp = F.lit(0).cast("long")
+    for b in range(60):
+        fp = fp + F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sums.select(F.col(id_col), fp.alias("simhash60"))
+
+
+def simhash_wide_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Banded near-dup pairs over the portable 60-bit SimHash —
+    the oracle-gated representative of the wide-band family.
+
+    ``max_hamming = n_bands - 1`` ⇒ recall exactly 1 by pigeonhole
+    (some 15-bit band untouched), same guarantee as the 32-bit
+    variant but with a 2^15-value band key space: at 10^8 docs the
+    expected bucket population is ~3k× smaller than 8-bit bands, so
+    the band join stays linear where ``simhash32_neardup_pairs``
+    (kept as the portable small-radius query) goes quadratic.
+    Output: (doc_a, doc_b, hamming)."""
+    width = 60 // n_bands
+    sh = with_simhash60_md5(docs, id_col=id_col, text_col=text_col)
+    bands = sh.select(
+        id_col,
+        "simhash60",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("simhash60"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash60", "band.band_idx", "band.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    hamming = F.bit_count(F.col("a.simhash60").bitwiseXOR(F.col("b.simhash60")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def simhash32_neardup_pairs(

@@ -887,3 +887,10 @@ from kahi_spark.queries_ext import ORACLES_EXT, QUERIES_EXT  # noqa: E402
 
 QUERIES.update(QUERIES_EXT)
 ORACLES.update(ORACLES_EXT)
+
+# round-3 extension: the real sink machinery (epoch ledger, MOR
+# compaction, schema evolution) behind the gate
+from kahi_spark.queries_sink import ORACLES_SINK, QUERIES_SINK  # noqa: E402
+
+QUERIES.update(QUERIES_SINK)
+ORACLES.update(ORACLES_SINK)

@@ -995,6 +995,64 @@ SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
 """
 
 
+def q_simhash_neardup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs at Hamming ≤ 3 over the portable 60-bit md5
+    SimHash, banded 4 × 15 bits (pigeonhole ⇒ recall exactly 1 at
+    radius 3). This is the gated representative of the wide-band
+    family: the 15-bit band key space (32k values) is what keeps the
+    band join linear at 10^8+ docs, where the 8-bit bands of
+    ``simhash_neardup`` (kept as the portable radius query) go
+    quadratic. The oracle mirrors the fingerprint bit-for-bit
+    (``h60`` = first 15 md5 hex digits as a long in both engines)."""
+    from kahi_spark.operators.dedup import simhash_wide_neardup_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_wide_neardup_pairs(docs, max_hamming=3, n_bands=4)
+
+
+def _oracle_simhash_wide() -> str:
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(60)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(60)
+    )
+    bandlist = ", ".join(f"(s >> {b * 15}) & 32767" for b in range(4))
+    return f"""
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct([
+               string_split(text,' ')[i] || ' ' ||
+               string_split(text,' ')[i+1] || ' ' ||
+               string_split(text,' ')[i+2]
+               for i in range(1, len(string_split(text,' ')) - 1)
+           ]) AS grams
+    FROM documents
+),
+tok AS (SELECT doc_id, unnest(grams) AS tok FROM sh),
+hs AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+sums AS (
+    SELECT doc_id,
+           {votes}
+    FROM hs GROUP BY doc_id
+),
+fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS s FROM sums),
+bands AS (
+    SELECT doc_id, s, generate_subscripts(bv, 1) AS band_idx, unnest(bv) AS band_val
+    FROM (SELECT doc_id, s, [{bandlist}] AS bv FROM fp)
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Quantized-LSH ANN + near-dup pairs (oracle mirrors the bucketing)
 # ---------------------------------------------------------------------------
@@ -1542,6 +1600,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_bpe": q_token_bpe,
     "quality_score": q_quality_score,
     "simhash_neardup": q_simhash_neardup,
+    "simhash_neardup_wide": q_simhash_neardup_wide,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1568,6 +1627,7 @@ ORACLES_EXT: dict[str, str] = {
     "token_bpe": ORACLE_TOKEN_BPE,
     "quality_score": ORACLE_QUALITY_SCORE,
     "simhash_neardup": _oracle_simhash(),
+    "simhash_neardup_wide": _oracle_simhash_wide(),
     "knn_lsh": _oracle_knn_lsh(),
     "knn_ivf": ORACLE_KNN_IVF,
     "embedding_neardup_lsh": _oracle_neardup_lsh(),

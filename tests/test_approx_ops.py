@@ -54,6 +54,32 @@ def test_simhash_finds_planted_neardups(spark):
     assert recall >= 0.8, f"simhash recall {recall:.2f}"
 
 
+def test_simhash_wide_finds_planted_neardups(spark):
+    """The 60-bit/15-bit-band portable SimHash (the scale-shaped
+    gated representative) keeps recall on the planted near-dups at a
+    radius where banding is pigeonhole-guaranteed."""
+    from kahi_spark.operators.dedup import (
+        jaccard_pairs,
+        shingle_df,
+        simhash_wide_neardup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(shingle_df(docs), threshold=0.9).collect()
+    }
+    assert truth, "fixture should contain planted near-dups"
+    found = {
+        (r.doc_a, r.doc_b)
+        # hamming ≤ 14 over 60 bits ≈ the hamming-12-of-64 radius the
+        # 64-bit test uses; 15 bands ⇒ pigeonhole recall 1 at ≤ 14
+        for r in simhash_wide_neardup_pairs(docs, max_hamming=14, n_bands=15).collect()
+    }
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.8, f"simhash60 recall {recall:.2f}"
+
+
 def test_minhash_signature_similarity_tracks_jaccard(spark):
     """Signature agreement rate ≈ true Jaccard (MinHash property)."""
     from kahi_spark.operators.dedup import minhash_signatures, shingle_df
