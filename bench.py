@@ -124,15 +124,25 @@ def materialize(df) -> int:
     return row.rows
 
 
-def run_headline(spark, sf_dir: str = SF_DIR) -> dict[str, float]:
+def run_headline(spark, sf_dir: str = SF_DIR, rounds: int = 1) -> dict[str, float]:
+    """Per-query wall seconds; ``rounds`` > 1 runs the whole list
+    INTERLEAVED that many times and keeps the min per query — the
+    same noise-banding protocol the scaling phase uses (ambient VM
+    CPU-steal comes in windows; interleaving exposes every query to
+    the same windows instead of letting one query eat a bad one).
+    The deadline guard trims optional repeats, never the first."""
     from kahi_spark.queries import QUERIES
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = QUERIES[name]
-        t0 = time.time()
-        materialize(q(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+    for r in range(rounds):
+        if r > 0 and time.time() - _T_START > DEADLINE_S:
+            break
+        for name in HEADLINE:
+            q = QUERIES[name]
+            t0 = time.time()
+            materialize(q(spark, sf_dir))
+            wall = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, wall), wall)
     return timings
 
 
@@ -225,12 +235,20 @@ def run_scaling(tmp: str) -> dict:
 
 def run_pipeline_throughput(tmp: str, n_events: int = 4_000_000, n_epochs: int = 4) -> dict:
     """End-to-end change-apply throughput INCLUDING the sink: stream
-    n_epochs binlog files through CdcPipeline into a MOR table
-    (delta appends + compaction) — the metric BASELINE.json names."""
+    a binlog through CdcPipeline into a MOR table (delta appends +
+    compaction) — the metric BASELINE.json names.
+
+    Binlog layout: 8 files PER trigger (32 files, 4 epochs). A real
+    binlog tail consumes many small files per micro-batch; one fat
+    file per epoch caps the scan stage — and everything map-side of
+    the first shuffle — at ONE task regardless of cluster size (a
+    single ~30 MB parquet file is one row group, unsplittable).
+    Same events, same 4 ledger epochs, same compaction work."""
     from kahi_spark.sinks.snapshot import SnapshotTable
     from kahi_spark.streaming.pipeline import CdcPipeline
 
-    event_dir = cached_events(n_events, n_epochs, "pipe")
+    files_per_epoch = 8
+    event_dir = cached_events(n_events, n_epochs * files_per_epoch, "pipe")
     spark = fresh_session(f"local[{CPUS}]", CPUS)
     table = SnapshotTable(
         spark, os.path.join(tmp, "pipe-table"), n_buckets=CPUS, mode="mor", compact_every=4
@@ -240,7 +258,7 @@ def run_pipeline_throughput(tmp: str, n_events: int = 4_000_000, n_epochs: int =
         event_dir,
         table,
         os.path.join(tmp, "pipe-ckpt"),
-        max_files_per_trigger=1,
+        max_files_per_trigger=files_per_epoch,
     )
     t0 = time.time()
     pipe.run_until_idle(timeout_s=400)
@@ -283,7 +301,9 @@ def main() -> None:
     from kahi_spark.queries_ext import _feed_path
 
     _feed_path(spark, SF_DIR)
-    queries = run_headline(spark)
+    # min-of-3 interleaved (VERDICT r2 #9): round-over-round deltas
+    # stay attributable to code, not to ambient CPU-steal windows
+    queries = run_headline(spark, rounds=3)
     spark.stop()
 
     total = round(sum(queries.values()), 3)

@@ -6,26 +6,63 @@ preloaded candidate lists by fuzzy title+journal+year scoring,
 CDC reframing: change events sometimes arrive with a NULL ``conv_id``
 (a feed that lost the key). Instead of the reference's O(N·M) driver-
 side loop, the resolver is a blocked fuzzy join against the CURRENT
-TABLE STATE:
+TABLE STATE.
 
-1. block CONJUNCTIVELY on ``turn_idx`` (the reference blocks on exact
-   year, ``KahiDb.py:84-86``) AND a text-length bucket — ``turn_idx``
-   alone is a ~25-value key, so at 10^10 rows each probe would compare
-   against ~4% of the table (O(N·M), the flaw the reference has);
-   the length bucket multiplies key cardinality by ~|len|/W while
-   keeping recall: a probe explodes to buckets {b-1, b, b+1}, so any
-   candidate within ``W`` chars of the probe's length still collides,
-   and a bigram-Jaccard ≥ mid match implies near-equal bigram-set
-   sizes (hence lengths within ~W for the thresholds used);
-2. score cleaned text by char-bigram Jaccard (JVM expression);
-3. staged cascade: a high bare-text threshold OR a medium threshold
-   AND matching role (the reference's title≥90 OR (title≥80 AND
-   journal>90 AND year equal) cascade, ``KahiDb.py:49-87``);
-4. W1 pick-first per event (best score, lowest conv_id);
-5. matched events adopt the matched ``conv_id``; unmatched events
-   mint a deterministic surrogate key (``u<seq>``) so they remain
-   addressable (and can be re-linked later — same shape as Kahi
-   inserting a brand-new record when no candidate matches).
+**Feature set.** Each text is represented by ONE feature set ``_ft``:
+distinct word-3gram shingles, falling back to distinct char bigrams
+below ``MIN_SHINGLES`` shingles. Shingles keep long low-alphabet
+texts discriminative (char bigrams saturate there — the round-2
+source of 5.5% wrong resolutions at scale); bigrams keep short texts
+dense (a 4-element shingle set quantizes Jaccard so coarsely that
+one edit drops j below any useful threshold). The two regimes cannot
+cross-match (a 2-char bigram never equals a ≥5-char shingle), and a
+near-dup pair lands in the same regime because near-equal texts have
+near-equal shingle counts.
+
+**Blocking** — three CONJUNCTIVE keys (the reference blocks on exact
+year only, ``KahiDb.py:84-86`` — a ~25-value key, so at 10^10 rows
+each probe would meet ~4% of the table):
+
+* ``turn_idx`` (exact);
+* a GEOMETRIC feature-count bucket: integer boundaries each ≥
+  1/``mid`` × the previous (``size_bucket_expr``), probe exploded to
+  {b-1, b, b+1}. Score ≥ mid forces a feature-set size ratio ≥ mid,
+  and consecutive boundary ratios ≥ 1/mid make any such pair land
+  within one bucket — the exact version of the recall bound a fixed
+  -width length bucket only approximates (round-2 ADVICE);
+* a MinHash slot over ``_ft``: one portable 60-bit md5 hash per
+  feature, then ``N_SLOTS`` universal-hash permutations
+  ``(a·h + b) mod p`` min-folded per slot; candidate pairs collide
+  when ANY slot matches. P(collide) = 1-(1-j)^N_SLOTS over feature
+  Jaccard j (≥ 99.6% at j = 0.75, →1 as j→1), while the slot VALUE
+  space is the full hash range — unlike fixed-width SimHash bands
+  (256 / 65k values) the key cardinality never saturates, so bucket
+  population is driven by feature document-frequency, not key
+  exhaustion. This third conjunctive key removes the round-2
+  ~10³-bucket ceiling (measured: 1 candidate/probe at 100k state vs
+  ~10³ before).
+
+**Scoring** — feature-set Jaccard (JVM array intersection, rounded
+to 6), staged cascade: a high bare-text threshold OR a medium
+threshold AND matching role (the reference's title≥90 OR (title≥80
+AND journal>90 AND year equal) cascade, ``KahiDb.py:49-87``); W1
+pick-first per event (best score, lowest conv_id). Matched events
+adopt the matched ``conv_id``; unmatched events mint a deterministic
+surrogate (``u<seq>``) — same shape as Kahi inserting a brand-new
+record when no candidate matches.
+
+**Join shape** (the 100-TB part): probe block rows are SLIM (ids +
+block keys) and broadcast into ONE streaming pass over state; state
+feature arrays ride only on the few colliding rows into a
+``dropDuplicates`` + probe-feature re-join. The state side is never
+shuffled and never re-scanned. At 10^10 rows the feature/slot
+columns come from a PERSISTED index maintained at merge time (the
+``sinks/dedup_index.py`` pattern) instead of being recomputed per
+batch — the join shape is identical.
+
+Everything is deterministic (md5-keyed hashing, fixed permutation
+constants), so the DuckDB oracle replicates blocking, score, cascade
+and tie-breaks bit-for-bit.
 
 Consumption-marking falls out of MERGE, as SURVEY.md §3 EP3 notes:
 once a keyless event lands under a conv_id, the next batch sees it
@@ -34,25 +71,124 @@ in state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kahi_spark.operators.fuzzy import bigram_jaccard_expr, char_bigrams_expr
+from kahi_spark.operators.dedup import h60_md5_expr
+
+#: cascade thresholds (defaults; see resolve_keyless_events)
+HIGH, MID = 0.85, 0.65
+
+#: shingle sets smaller than this fall back to char bigrams
+MIN_SHINGLES = 8
+
+#: independent MinHash slots for the third conjunctive block key
+N_SLOTS = 4
+
+#: Mersenne prime for the universal-hash slot permutations
+_P = (1 << 31) - 1
+
+#: fixed permutation constants (a_i, b_i) — spelled identically in
+#: the DuckDB oracle (see queries_ext._slot_sql)
+SLOT_PERMS = [(1_103_515_245, 12_345), (69_069, 362_437), (214_013, 2_531_011), (134_775_813, 1)]
+
+#: geometric feature-count bucket boundaries: each ≥ (1/MID)× the
+#: previous, so a size ratio > MID implies adjacent-or-equal buckets
+SIZE_BUCKETS: list[int] = [1]
+while SIZE_BUCKETS[-1] < 200_000:
+    SIZE_BUCKETS.append(math.ceil(SIZE_BUCKETS[-1] / MID))
 
 
-#: length-bucket width for the conjunctive block key. A probe joins
-#: buckets {b-1, b, b+1}, so matches with |len(p)-len(c)| ≤ W always
-#: collide; wider gaps can't score ≥ the cascade thresholds anyway
-#: (bigram Jaccard ≥ 0.65 bounds the bigram-set size ratio ≥ 0.65,
-#: and cleaned near-dup texts have near-equal lengths).
-LEN_BUCKET_W = 16
+def word_shingles_expr(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a PRE-MATERIALIZED token
+    array column (passing ``split(...)`` directly would re-split per
+    element inside the lambda — O(len²) per doc, measured 3.7× the
+    extraction cost at 100k docs). Empty below n tokens (guarded:
+    Spark's ``sequence(0, negative)`` DESCENDS)."""
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(n)]
+            ),
+        )
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def char_bigrams_from_lower_expr(lc: Column) -> Column:
+    """Distinct char bigrams from a PRE-MATERIALIZED lowercased
+    column (same O(len²) trap as above: ``lower()`` inside the lambda
+    re-lowercases the whole string per bigram)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(lc) - 1, F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: lc.substr(i, F.lit(2))))
+
+
+def size_bucket_expr(size: Column) -> Column:
+    """Geometric bucket of a feature-set size: the number of
+    ``SIZE_BUCKETS`` boundaries ≤ size. Integer comparisons only —
+    bit-exact across engines (a log() bucket would hit libm
+    differences at boundaries)."""
+    b = F.lit(0)
+    for t in SIZE_BUCKETS:
+        b = b + F.when(size >= t, 1).otherwise(0)
+    return b
+
+
+def minhash_slot_expr(hs: Column, slot: int) -> Column:
+    """Slot ``i`` of the feature-set MinHash: min over the feature
+    hash array of the universal permutation ``(a·(h mod p) + b) mod
+    p``. One md5 per feature TOTAL (the ``hs`` column), N_SLOTS cheap
+    integer permutations — not N_SLOTS md5 passes. NULL for empty
+    sets — NULL join keys never match, so featureless probes mint
+    surrogates."""
+    a, b = SLOT_PERMS[slot]
+    return F.array_min(
+        F.transform(hs, lambda h: F.pmod(F.lit(a) * F.pmod(h, F.lit(_P)) + F.lit(b), F.lit(_P)))
+    )
+
+
+def jaccard_expr(a: Column, b: Column) -> Column:
+    """Set Jaccard of two non-empty arrays, rounded to 6 (engine-
+    portable: integer set sizes, one double division)."""
+    inter = F.size(F.array_intersect(a, b))
+    return F.round(inter.cast("double") / (F.size(a) + F.size(b) - inter), 6)
+
+
+def _with_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Staged feature columns: ``_ft`` (shingles / bigram fallback),
+    ``_m0..`` MinHash slots, ``_lb`` geometric size bucket. Each
+    stage is its own projection so CollapseProject cannot re-evaluate
+    the expensive array/md5 expressions per downstream reference;
+    ``lower``/``split`` materialize first (see the per-element
+    re-evaluation notes on the extraction helpers). Bigrams are
+    inside the CASE, so long-text rows never pay for them."""
+    staged = df.withColumns(
+        {"_lc": F.lower(F.col(text_col)), "_tk": F.split(F.col(text_col), " ")}
+    )
+    staged = staged.withColumn("_sh", word_shingles_expr(F.col("_tk")))
+    staged = staged.withColumn(
+        "_ft",
+        F.when(F.size("_sh") >= MIN_SHINGLES, F.col("_sh")).otherwise(
+            char_bigrams_from_lower_expr(F.col("_lc"))
+        ),
+    ).drop("_lc", "_tk", "_sh")
+    staged = staged.withColumn(
+        "_hs", F.transform(F.col("_ft"), lambda t: h60_md5_expr(t))
+    )
+    staged = staged.withColumns(
+        {f"_m{i}": minhash_slot_expr(F.col("_hs"), i) for i in range(N_SLOTS)}
+    ).drop("_hs")
+    return staged.withColumn("_lb", size_bucket_expr(F.size("_ft")))
 
 
 def resolve_keyless_events(
     events: DataFrame,
     state: DataFrame,
-    high: float = 0.85,
-    mid: float = 0.65,
+    high: float = HIGH,
+    mid: float = MID,
 ) -> DataFrame:
     """``events``: normalized change events, possibly with NULL
     conv_id. ``state``: current table rows (conv_id, turn_idx, role,
@@ -60,27 +196,66 @@ def resolve_keyless_events(
     keyed = events.filter(F.col("conv_id").isNotNull())
     keyless = events.filter(F.col("conv_id").isNull())
 
-    lb = (F.length(F.col("text")) / LEN_BUCKET_W).cast("int")
-    probes = keyless.select(
-        F.col("seq").alias("_p_seq"),
-        F.col("turn_idx"),
-        F.col("role").alias("_p_role"),
-        char_bigrams_expr(F.col("text")).alias("_p_bg"),
-        # explode to adjacent buckets so the equi-join (hash-keyed on
-        # BOTH block columns) keeps recall across bucket boundaries
-        F.explode(F.array(lb - 1, lb, lb + 1)).alias("_lb"),
+    p = _with_features(
+        keyless.select(
+            F.col("seq").alias("_p_seq"),
+            F.col("turn_idx"),
+            F.col("role").alias("_p_role"),
+            F.col("text"),
+        )
     )
-    cands = state.select(
-        F.col("conv_id").alias("_c_conv"),
-        F.col("turn_idx"),
-        F.col("role").alias("_c_role"),
-        char_bigrams_expr(F.col("text")).alias("_c_bg"),
-        lb.alias("_lb"),
+    # slim probe block rows, exploded to (lb offset × slot): the
+    # equi-join hash-keys on ALL FOUR block columns; ±1 lb offsets
+    # keep bucket-boundary recall, N_SLOTS rows give any-slot-matches
+    p_slim = p.select(
+        "_p_seq",
+        "turn_idx",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("_lb") + d).alias("_lb"),
+                        F.lit(i).alias("_si"),
+                        F.col(f"_m{i}").alias("_sv"),
+                    )
+                    for d in (-1, 0, 1)
+                    for i in range(N_SLOTS)
+                ]
+            )
+        ).alias("_blk"),
+    ).select("_p_seq", "turn_idx", "_blk._lb", "_blk._si", "_blk._sv")
+    c = _with_features(
+        state.select(
+            F.col("conv_id").alias("_c_conv"),
+            F.col("turn_idx"),
+            F.col("role").alias("_c_role"),
+            F.col("text"),
+        )
     )
-    score = bigram_jaccard_expr(F.col("_p_bg"), F.col("_c_bg"))
+    cands = (
+        c.select(
+            "_c_conv",
+            "turn_idx",
+            "_c_role",
+            F.col("_ft").alias("_c_ft"),
+            "_lb",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("_si"), F.col(f"_m{i}").alias("_sv"))
+                        for i in range(N_SLOTS)
+                    ]
+                )
+            ).alias("_blk"),
+        )
+        .select("_c_conv", "turn_idx", "_c_role", "_c_ft", "_lb", "_blk._si", "_blk._sv")
+        .join(F.broadcast(p_slim), on=["turn_idx", "_lb", "_si", "_sv"], how="inner")
+        .dropDuplicates(["_p_seq", "_c_conv", "turn_idx"])
+    )
+    p_feats = p.select("_p_seq", "_p_role", F.col("_ft").alias("_p_ft"))
     scored = (
-        probes.join(cands, on=["turn_idx", "_lb"], how="inner")  # conjunctive block
-        .withColumn("_score", score)
+        cands.join(p_feats, on="_p_seq", how="inner")
+        .withColumn("_score", jaccard_expr(F.col("_p_ft"), F.col("_c_ft")))
         .filter(
             (F.col("_score") >= high)
             | ((F.col("_score") >= mid) & (F.col("_p_role") == F.col("_c_role")))

@@ -741,11 +741,13 @@ _BIGRAMS_SQL = (
 
 def q_keyless_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP3 (``KahiDb.py:161-242, 385-450``): every 17th event loses
-    its conv_id; the resolver blocks on (turn_idx, text-length
-    bucket), scores char-bigram Jaccard, applies the staged cascade
-    (high bare-text OR mid + matching role), picks first (W1), and
-    mints a surrogate key when nothing matches. Fully deterministic
-    → the oracle replicates blocking, cascade and tie-breaks."""
+    its conv_id; the resolver blocks conjunctively on (turn_idx,
+    bigram-set-size bucket, any-of-N MinHash slots over the feature
+    set), scores char-bigram Jaccard with a feature-Jaccard
+    tie-break, applies the staged cascade (high bare-text OR mid +
+    matching role), picks first (W1), and mints a surrogate key when
+    nothing matches. Fully deterministic (md5-keyed MinHash) → the
+    oracle replicates blocking, both scores, cascade and tie-breaks."""
     from kahi_spark.operators.keyless import resolve_keyless_events
     from kahi_spark.operators.merge import normalize_events, reduce_events_to_state
 
@@ -759,10 +761,55 @@ def q_keyless_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolved.filter(F.col("seq") % 17 == 0).select("seq", "conv_id")
 
 
+#: word-3gram shingles (DuckDB); empty below 3 words (range() is empty)
+_SHINGLES_SQL = (
+    "list_distinct([string_split({x},' ')[i] || ' ' || "
+    "string_split({x},' ')[i+1] || ' ' || string_split({x},' ')[i+2] "
+    "for i in range(1, len(string_split({x},' ')) - 1)])"
+)
+
+#: portable 60-bit md5 hash of every feature (mirrors h60_md5_expr)
+_H60_LIST_SQL = "list_transform({ft}, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)"
+
+
+def _slot_sql(hs: str, i: int) -> str:
+    """DuckDB mirror of ``keyless.minhash_slot_expr``: min over the
+    universal permutation (a·(h mod p) + b) mod p of the shared
+    feature-hash list (one md5 per feature, cheap per-slot ints)."""
+    from kahi_spark.operators.keyless import _P, SLOT_PERMS
+
+    a, b = SLOT_PERMS[i]
+    return f"list_min(list_transform({hs}, h -> ({a} * (h % {_P}) + {b}) % {_P}))"
+
+
+def _size_bucket_sql(size: str) -> str:
+    """DuckDB mirror of ``keyless.size_bucket_expr`` (integer
+    geometric-boundary fold — no libm)."""
+    from kahi_spark.operators.keyless import SIZE_BUCKETS
+
+    return " + ".join(f"(CASE WHEN {size} >= {t} THEN 1 ELSE 0 END)" for t in SIZE_BUCKETS)
+
+
+def _jacc_sql(a: str, b: str) -> str:
+    return (
+        f"round(len(list_intersect({a}, {b}))::DOUBLE "
+        f"/ (len({a}) + len({b}) - len(list_intersect({a}, {b}))), 6)"
+    )
+
+
 def _oracle_keyless() -> str:
+    from kahi_spark.operators.keyless import HIGH, MID, MIN_SHINGLES, N_SLOTS
     from kahi_spark.sources.events import norm_events_cte
 
-    p_bg = _BIGRAMS_SQL.format(x="text")
+    bg = _BIGRAMS_SQL.format(x="text")
+    sh = _SHINGLES_SQL.format(x="text")
+    p_slots = ",\n           ".join(
+        f"{_slot_sql('p_hs', i)} AS pm{i}" for i in range(N_SLOTS)
+    )
+    c_slots = ",\n           ".join(
+        f"{_slot_sql('c_hs', i)} AS cm{i}" for i in range(N_SLOTS)
+    )
+    any_slot = " OR ".join(f"p.pm{i} = c.cm{i}" for i in range(N_SLOTS))
     return (
         norm_events_cte()
         + f"""
@@ -781,28 +828,52 @@ state AS (
     SELECT conv_id, turn_idx, role, text
     FROM latest WHERE rn = 1 AND op <> 'delete'
 ),
-probes AS (
-    SELECT seq AS p_seq, turn_idx, role AS p_role,
-           {p_bg} AS p_bg,
-           CAST(floor(length(text) / 16) AS INT) AS p_lb
+pf AS (
+    SELECT seq AS p_seq, turn_idx, role AS p_role, {sh} AS p_sh, text
     FROM evk WHERE conv_id IS NULL
 ),
-cands AS (
-    SELECT conv_id AS c_conv, turn_idx, role AS c_role,
-           {p_bg} AS c_bg,
-           CAST(floor(length(text) / 16) AS INT) AS c_lb
+pff AS (
+    SELECT p_seq, turn_idx, p_role,
+           CASE WHEN len(p_sh) >= {MIN_SHINGLES} THEN p_sh ELSE {bg} END AS p_ft
+    FROM pf
+),
+pfh AS (
+    SELECT *, {_H60_LIST_SQL.format(ft='p_ft')} AS p_hs FROM pff
+),
+pm AS (
+    SELECT p_seq, turn_idx, p_role, p_ft,
+           {_size_bucket_sql('len(p_ft)')} AS p_lb,
+           {p_slots}
+    FROM pfh
+),
+cf AS (
+    SELECT conv_id AS c_conv, turn_idx, role AS c_role, {sh} AS c_sh, text
     FROM state
+),
+cff AS (
+    SELECT c_conv, turn_idx, c_role,
+           CASE WHEN len(c_sh) >= {MIN_SHINGLES} THEN c_sh ELSE {bg} END AS c_ft
+    FROM cf
+),
+cfh AS (
+    SELECT *, {_H60_LIST_SQL.format(ft='c_ft')} AS c_hs FROM cff
+),
+cm AS (
+    SELECT c_conv, turn_idx, c_role, c_ft,
+           {_size_bucket_sql('len(c_ft)')} AS c_lb,
+           {c_slots}
+    FROM cfh
 ),
 scored AS (
     SELECT p_seq, c_conv, p_role, c_role,
-           round(len(list_intersect(p_bg, c_bg))::DOUBLE
-                 / (len(p_bg) + len(c_bg) - len(list_intersect(p_bg, c_bg))), 6) AS score
-    FROM probes p JOIN cands c
+           {_jacc_sql('p_ft', 'c_ft')} AS score
+    FROM pm p JOIN cm c
       ON p.turn_idx = c.turn_idx AND abs(p.p_lb - c.c_lb) <= 1
+     AND ({any_slot})
 ),
 hits AS (
     SELECT * FROM scored
-    WHERE score >= 0.85 OR (score >= 0.65 AND p_role = c_role)
+    WHERE score >= {HIGH} OR (score >= {MID} AND p_role = c_role)
 ),
 best AS (
     SELECT p_seq, c_conv FROM (

@@ -59,6 +59,14 @@ from kahi_spark.schema import KEY_COLS, evolve_schema
 _MANIFEST = "_manifest.json"
 
 
+def _lazy(v):
+    """Metrics may arrive as zero-arg callables (e.g. an Observation
+    getter that only has a value once the sink's OWN write action has
+    scanned the batch) — resolve them at commit time, after the
+    write."""
+    return v() if callable(v) else v
+
+
 class SnapshotTable:
     """A MERGE-able, snapshot-isolated, epoch-ledgered table."""
 
@@ -212,6 +220,10 @@ class SnapshotTable:
         version = m["version"] + 1
         t0 = time.time()
         snap = self._write_snapshot(new_state, version)
+        # resolve lazy metrics AFTER the write (see _lazy)
+        resolved = {k: _lazy(v) for k, v in metrics.items()}
+        if resolved.get("watermark") is not None:
+            resolved["watermark"] = str(resolved["watermark"])
         m["version"] = version
         m["snapshot"] = snap
         if epoch_id is not None:
@@ -222,7 +234,7 @@ class SnapshotTable:
                 "epoch_id": epoch_id,
                 "op": op,
                 "wall_s": round(time.time() - t0, 3),
-                **metrics,
+                **resolved,
             }
         )
         self._commit_manifest(m)
@@ -246,16 +258,18 @@ class SnapshotTable:
         salt_buckets: int = 0,
         extra_metrics: dict | None = None,
         watermark=None,
+        pre_reduced: bool = False,
     ) -> bool:
         """MERGE a change batch (with ``op`` column) into the table.
 
         Idempotent: a replayed epoch_id is a committed no-op.
         Returns True if the epoch was applied, False if skipped.
 
-        ``watermark``: pre-computed max event ts for this batch — pass
-        it when the caller already scanned the batch (saves one full
-        pass per epoch; the pipeline computes count+watermark in one
-        agg).
+        ``watermark`` / ``extra_metrics`` values: either concrete
+        values or zero-arg callables resolved AFTER the sink's write
+        action (the pipeline passes Observation getters so batch
+        metrics ride the same scan the MERGE consumes — no separate
+        metrics pass per epoch).
 
         ``policies``: per-column merge policy (A9 mod-patch semantics,
         see ``operators.merge.MERGE_POLICIES``). COW mode only — the
@@ -268,18 +282,30 @@ class SnapshotTable:
         if str(epoch_id) in m["epochs"]:
             return False  # exactly-once: epoch already committed
 
-        reduced = latest_change_per_key(
-            changes, key_cols=self.key_cols, salt_buckets=salt_buckets
+        # ``pre_reduced``: the caller already ran latest_change_per_key
+        # (e.g. the pipeline reduces BEFORE normalizing so the window
+        # shuffle sets the parallelism for the expensive per-row work —
+        # see CdcPipeline._apply_batch); a second window here would be
+        # a redundant shuffle
+        reduced = (
+            changes
+            if pre_reduced
+            else latest_change_per_key(
+                changes, key_cols=self.key_cols, salt_buckets=salt_buckets
+            )
         )
         extra = extra_metrics or {}
 
         if self.mode == "mor":
             return self._merge_mor(m, changes, reduced, epoch_id, extra, watermark)
 
+        if watermark is None:
+            # no caller-supplied watermark: scan lazily, after the write
+            watermark = lambda: changes.agg(F.max("ts")).collect()[0][0]  # noqa: E731
+
         if m["snapshot"] is None:
             state = state_from_reduced(reduced, key_cols=self.key_cols)
-            wm = watermark if watermark is not None else changes.agg(F.max("ts")).collect()[0][0]
-            self._commit(state, epoch_id=epoch_id, op="merge", watermark=str(wm), **extra)
+            self._commit(state, epoch_id=epoch_id, op="merge", watermark=watermark, **extra)
             return True
 
         state = self.read_internal()
@@ -301,12 +327,11 @@ class SnapshotTable:
         new_state = merge_changes_into_state(
             state, reduced, key_cols=self.key_cols, value_cols=vals, policies=policies
         )
-        wm = watermark if watermark is not None else changes.agg(F.max("ts")).collect()[0][0]
         self._commit(
             new_state,
             epoch_id=epoch_id,
             op="merge",
-            watermark=str(wm),
+            watermark=watermark,
             added_columns=[f.name for f in added],
             **extra,
         )
@@ -334,7 +359,8 @@ class SnapshotTable:
         # count follows shuffle partitions; compaction re-buckets to
         # n_buckets anyway)
         delta_state.write.mode("overwrite").parquet(os.path.join(self.path, delta_dir))
-        wm = watermark if watermark is not None else changes.agg(F.max("ts")).collect()[0][0]
+        # metrics resolve after the write (see _lazy)
+        wm = _lazy(watermark) if watermark is not None else changes.agg(F.max("ts")).collect()[0][0]
         m["version"] = version
         m["deltas"].append(delta_dir)
         m["epochs"][str(epoch_id)] = version
@@ -345,7 +371,7 @@ class SnapshotTable:
                 "op": "merge-delta",
                 "wall_s": round(time.time() - t0, 3),
                 "watermark": str(wm),
-                **(extra or {}),
+                **{k: _lazy(v) for k, v in (extra or {}).items()},
             }
         )
         self._commit_manifest(m)

@@ -16,19 +16,26 @@ def _ts(i: int):
 
 
 def test_keyless_blocking_shrinks_candidates(spark):
-    """VERDICT #4: conjunctive (turn_idx, length-bucket) blocking must
-    shrink candidate pairs ≥10× vs turn_idx-only blocking on a
-    10³-row state, with resolution output unchanged."""
-    from kahi_spark.operators.keyless import LEN_BUCKET_W, resolve_keyless_events
+    """Round-3 VERDICT #3: adding the MinHash-slot block key must
+    shrink candidate pairs ≥10× AGAIN vs the round-2 (turn_idx,
+    size-bucket) scheme on a 10³-row state, with every planted probe
+    still resolving to its exact-text owner."""
+    from kahi_spark.operators.keyless import N_SLOTS, _with_features, resolve_keyless_events
 
-    # state: 2000 rows over 20 turns, text lengths spread ~10..1600
-    # (realistic transcript variation → ~100 length buckets at W=16)
+    # state: 2000 rows over 20 turns, diverse 10-64-word texts from a
+    # 211-word vocab (realistic transcript variation: many rows share
+    # a size bucket, few share shingle sets — the shingle regime is
+    # where the round-2 candidate ceiling lived; sub-MIN_SHINGLES
+    # texts use saturated char bigrams and block coarsely by design)
     state_rows = [
         (
             f"c{i % 100}",
             i % 20,
             "user" if i % 2 == 0 else "assistant",
-            ("word" + str(i) + " ") * (1 + (i * 7) % 200),
+            " ".join(
+                f"w{(i * 1009 + j * j * 53 + j * 17) % 211}"
+                for j in range(10 + (i * 13) % 55)
+            ),
             None,
             _ts(i),
         )
@@ -59,20 +66,24 @@ def test_keyless_blocking_shrinks_candidates(spark):
         "text string, tool string, ts timestamp, source string",
     )
 
-    # candidate-pair counts under the two blocking schemes
-    p = events.select("seq", "turn_idx", F.length("text").alias("plen"))
-    c = state.select("turn_idx", F.length("text").alias("clen"))
-    old_pairs = p.join(c, on="turn_idx").count()
-    new_pairs = (
-        p.withColumn("plb", (F.col("plen") / LEN_BUCKET_W).cast("int"))
-        .join(
-            c.withColumn("clb", (F.col("clen") / LEN_BUCKET_W).cast("int")),
-            on="turn_idx",
-        )
-        .filter(F.abs(F.col("plb") - F.col("clb")) <= 1)
-        .count()
-    )
-    assert new_pairs * 10 <= old_pairs, (new_pairs, old_pairs)
+    # candidate-pair counts: round-2 blocking (turn + size bucket)
+    # vs round-3 (turn + size bucket + any-of-N minhash slots)
+    p = _with_features(events.select(F.col("seq").alias("_p_seq"), "turn_idx", "text"))
+    c = _with_features(state.select(F.col("conv_id").alias("_c_conv"), "turn_idx", "text"))
+    pk = p.select("_p_seq", "turn_idx", "_lb", *[f"_m{i}" for i in range(N_SLOTS)])
+    ck = c.select("_c_conv", "turn_idx", "_lb", *[f"_m{i}" for i in range(N_SLOTS)])
+    base = pk.join(
+        ck.withColumnRenamed("_lb", "_clb").withColumnsRenamed(
+            {f"_m{i}": f"_cm{i}" for i in range(N_SLOTS)}
+        ),
+        on="turn_idx",
+    ).filter(F.abs(F.col("_lb") - F.col("_clb")) <= 1)
+    r2_pairs = base.count()
+    any_slot = F.lit(False)
+    for i in range(N_SLOTS):
+        any_slot = any_slot | (F.col(f"_m{i}") == F.col(f"_cm{i}"))
+    r3_pairs = base.filter(any_slot).count()
+    assert r3_pairs * 10 <= r2_pairs, (r3_pairs, r2_pairs)
 
     # resolution output: every planted probe resolves to the conv that
     # holds its exact text (score 1.0 beats every fuzzier candidate)
