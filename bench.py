@@ -52,6 +52,9 @@ HEADLINE = [
     "keyless_resolution",
     "embedding_neardup_lsh",
     "simhash_neardup",
+    # round 3: the wide-band (15-bit) SimHash — the family's scale
+    # representative (32k-value band keys vs the 256-value 32-bit one)
+    "simhash_neardup_wide",
 ]
 
 
