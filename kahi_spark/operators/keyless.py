@@ -189,10 +189,17 @@ def resolve_keyless_events(
     state: DataFrame,
     high: float = HIGH,
     mid: float = MID,
+    state_features: DataFrame | None = None,
 ) -> DataFrame:
     """``events``: normalized change events, possibly with NULL
     conv_id. ``state``: current table rows (conv_id, turn_idx, role,
-    text, …). Returns events with conv_id resolved everywhere."""
+    text, …). Returns events with conv_id resolved everywhere.
+
+    ``state_features``: a precomputed candidate-feature frame
+    (conv_id, turn_idx, role, _ft, _m0.., _lb) — pass
+    ``KeylessFeatureIndex.features()`` so the state is featurized
+    once per version instead of once per batch (the only shape that
+    works at 10^10 state rows). When given, ``state`` is ignored."""
     keyed = events.filter(F.col("conv_id").isNotNull())
     keyless = events.filter(F.col("conv_id").isNull())
 
@@ -224,14 +231,24 @@ def resolve_keyless_events(
             )
         ).alias("_blk"),
     ).select("_p_seq", "turn_idx", "_blk._lb", "_blk._si", "_blk._sv")
-    c = _with_features(
-        state.select(
+    if state_features is not None:
+        c = state_features.select(
             F.col("conv_id").alias("_c_conv"),
             F.col("turn_idx"),
             F.col("role").alias("_c_role"),
-            F.col("text"),
+            "_ft",
+            *[f"_m{i}" for i in range(N_SLOTS)],
+            "_lb",
         )
-    )
+    else:
+        c = _with_features(
+            state.select(
+                F.col("conv_id").alias("_c_conv"),
+                F.col("turn_idx"),
+                F.col("role").alias("_c_role"),
+                F.col("text"),
+            )
+        )
     cands = (
         c.select(
             "_c_conv",

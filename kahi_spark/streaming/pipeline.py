@@ -50,6 +50,7 @@ class CdcPipeline:
         policies: dict[str, str] | None = None,
         resolve_keyless: bool = False,
         dedup_index=None,
+        keyless_index=None,
     ) -> None:
         """``salt_buckets``: >0 enables the two-phase salted LWW
         reduction for hot conv_ids (north_rule skew handling — a
@@ -61,6 +62,13 @@ class CdcPipeline:
         char-bigram similarity; EP3, the reference's
         similarity-driven ingest) and adopt the matched key, or mint
         a surrogate when nothing matches.
+
+        ``keyless_index``: a ``KeylessFeatureIndex`` makes the
+        keyless resolver's state side INCREMENTAL — candidate block
+        features come from the persistent index (built once per
+        version at merge time) instead of re-featurizing the whole
+        table per batch; required shape at 10^10 state rows. Implies
+        nothing without ``resolve_keyless=True``.
 
         ``dedup_index``: an ``LshDedupIndex`` enables INCREMENTAL
         near-dup dedup at ingest — each epoch's inserts are checked
@@ -89,6 +97,7 @@ class CdcPipeline:
         self.policies = policies
         self.resolve_keyless = resolve_keyless
         self.dedup_index = dedup_index
+        self.keyless_index = keyless_index
         self.metrics: list[dict] = []
 
     def _converge(self, normalized: DataFrame) -> DataFrame:
@@ -170,12 +179,24 @@ class CdcPipeline:
         if self.resolve_keyless:
             from kahi_spark.operators.keyless import resolve_keyless_events
 
+            state_features = (
+                self.keyless_index.features() if self.keyless_index is not None else None
+            )
             state = (
                 self.table.read()
-                if self.table.exists()
+                if state_features is None and self.table.exists()
                 else self.spark.createDataFrame([], "conv_id string, turn_idx int, role string, text string")
             )
-            normalized = resolve_keyless_events(normalized, state)
+            normalized = resolve_keyless_events(
+                normalized, state, state_features=state_features
+            )
+            if self.keyless_index is not None:
+                # the resolved batch must land in the index BEFORE its
+                # own merge action consumes features() — the epoch-dir
+                # swap would otherwise pull files out from under the
+                # still-lazy plan. localCheckpoint bounds it to one
+                # batch (same discipline as LshDedupIndex.dedup_batch).
+                normalized = normalized.localCheckpoint(eager=True)
         n_deduped = 0
         if self.dedup_index is not None:
             normalized, n_deduped = self.dedup_index.dedup_batch(normalized, epoch_id)
@@ -189,6 +210,11 @@ class CdcPipeline:
             extra_metrics={"events": n},
             watermark=wm,
         )
+        if self.resolve_keyless and self.keyless_index is not None:
+            # also on ledger-skipped replays: a crash between merge
+            # commit and index update heals here (update is an
+            # idempotent epoch-dir swap)
+            self.keyless_index.update(normalized, epoch_id)
         wall = time.time() - t0
         # in-memory mirror of the durable per-commit metrics the sink
         # manifest records (events, watermark, wall) — SURVEY.md §4.5

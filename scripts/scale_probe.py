@@ -178,6 +178,52 @@ def main():
         return {"probes": total, "correct": correct}
 
     phase("keyless_resolve_vs_100k_state", keyless_phase)
+
+    def keyless_indexed_phase():
+        """Same resolve, but the state features come from the
+        persistent KeylessFeatureIndex (built once, outside the timed
+        region) — the per-batch cost once state featurization is
+        incremental, i.e. the steady-state shape at 10^10 rows."""
+        from kahi_spark.operators.keyless import resolve_keyless_events
+        from kahi_spark.sinks.keyless_index import KeylessFeatureIndex
+
+        state_ev = docs.select(
+            F.col("doc_id").cast("string").alias("seq_str"),
+            F.col("doc_id").alias("seq"),
+            F.lit("insert").alias("op"),
+            F.concat(F.lit("s"), F.col("doc_id").cast("string")).alias("conv_id"),
+            F.pmod(F.col("doc_id"), F.lit(25)).cast("int").alias("turn_idx"),
+            F.when(F.col("doc_id") % 2 == 0, "user").otherwise("assistant").alias("role"),
+            "text",
+            F.lit(None).cast("timestamp").alias("ts"),
+        ).drop("seq_str")
+        idx = KeylessFeatureIndex(spark, f"{tmp}/keyless_index")
+        if not idx._epoch_dirs():
+            idx.update(state_ev, epoch_id=0)  # one-time build, untimed for resolve
+        probes = docs.filter(F.col("doc_id") % 20 == 3).select(
+            (F.col("doc_id") + 1_000_000_000).alias("seq"),
+            F.lit("update").alias("op"),
+            F.lit(None).cast("string").alias("conv_id"),
+            F.pmod(F.col("doc_id"), F.lit(25)).cast("int").alias("turn_idx"),
+            F.when(F.col("doc_id") % 2 == 0, "user").otherwise("assistant").alias("role"),
+            "text",
+            F.col("doc_id").alias("_truth"),
+        )
+        resolved = resolve_keyless_events(
+            probes.drop("_truth"),
+            state=probes.limit(0).drop("_truth"),
+            state_features=idx.features(),
+        )
+        correct = (
+            resolved.join(probes.select("seq", "_truth"), on="seq")
+            .filter(
+                F.col("conv_id") == F.concat(F.lit("s"), F.col("_truth").cast("string"))
+            )
+            .count()
+        )
+        return {"probes": probes.count(), "correct": correct}
+
+    phase("keyless_resolve_indexed_state", keyless_indexed_phase)
     print(json.dumps(out))
 
 
