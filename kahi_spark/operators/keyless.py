@@ -42,8 +42,10 @@ each probe would meet ~4% of the table):
   ~10³-bucket ceiling (measured: 1 candidate/probe at 100k state vs
   ~10³ before).
 
-**Scoring** — feature-set Jaccard (JVM array intersection, rounded
-to 6), staged cascade: a high bare-text threshold OR a medium
+**Scoring** — feature-set Jaccard over the 60-bit feature HASHES
+(JVM long-array intersection — 8-byte compares instead of string
+compares, identical values in both engines, 2^-60 collision odds;
+rounded to 6), staged cascade: a high bare-text threshold OR a medium
 threshold AND matching role (the reference's title≥90 OR (title≥80
 AND journal>90 AND year equal) cascade, ``KahiDb.py:49-87``); W1
 pick-first per event (best score, lowest conv_id). Matched events
@@ -158,7 +160,11 @@ def jaccard_expr(a: Column, b: Column) -> Column:
 
 
 def _with_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Staged feature columns: ``_ft`` (shingles / bigram fallback),
+    """Staged feature columns: ``_ft`` (the 60-bit md5 hashes of the
+    shingle-or-bigram feature set — all downstream consumers compare
+    HASHES: 8-byte longs intersect/shuffle far cheaper than feature
+    strings, and both engines compute identical values so the oracle
+    is unaffected; a 2^-60 collision is the accepted trade),
     ``_m0..`` MinHash slots, ``_lb`` geometric size bucket. Each
     stage is its own projection so CollapseProject cannot re-evaluate
     the expensive array/md5 expressions per downstream reference;
@@ -170,17 +176,17 @@ def _with_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     staged = staged.withColumn("_sh", word_shingles_expr(F.col("_tk")))
     staged = staged.withColumn(
-        "_ft",
+        "_fs",
         F.when(F.size("_sh") >= MIN_SHINGLES, F.col("_sh")).otherwise(
             char_bigrams_from_lower_expr(F.col("_lc"))
         ),
     ).drop("_lc", "_tk", "_sh")
     staged = staged.withColumn(
-        "_hs", F.transform(F.col("_ft"), lambda t: h60_md5_expr(t))
-    )
+        "_ft", F.transform(F.col("_fs"), lambda t: h60_md5_expr(t))
+    ).drop("_fs")
     staged = staged.withColumns(
-        {f"_m{i}": minhash_slot_expr(F.col("_hs"), i) for i in range(N_SLOTS)}
-    ).drop("_hs")
+        {f"_m{i}": minhash_slot_expr(F.col("_ft"), i) for i in range(N_SLOTS)}
+    )
     return staged.withColumn("_lb", size_bucket_expr(F.size("_ft")))
 
 

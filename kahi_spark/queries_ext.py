@@ -841,8 +841,10 @@ pfh AS (
     SELECT *, {_H60_LIST_SQL.format(ft='p_ft')} AS p_hs FROM pff
 ),
 pm AS (
-    SELECT p_seq, turn_idx, p_role, p_ft,
-           {_size_bucket_sql('len(p_ft)')} AS p_lb,
+    -- downstream compares HASH lists (p_hs), mirroring the Spark
+    -- side's hashed feature sets
+    SELECT p_seq, turn_idx, p_role, p_hs AS p_ft,
+           {_size_bucket_sql('len(p_hs)')} AS p_lb,
            {p_slots}
     FROM pfh
 ),
@@ -859,8 +861,8 @@ cfh AS (
     SELECT *, {_H60_LIST_SQL.format(ft='c_ft')} AS c_hs FROM cff
 ),
 cm AS (
-    SELECT c_conv, turn_idx, c_role, c_ft,
-           {_size_bucket_sql('len(c_ft)')} AS c_lb,
+    SELECT c_conv, turn_idx, c_role, c_hs AS c_ft,
+           {_size_bucket_sql('len(c_hs)')} AS c_lb,
            {c_slots}
     FROM cfh
 ),

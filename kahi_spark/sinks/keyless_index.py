@@ -53,7 +53,7 @@ from kahi_spark.operators.keyless import N_SLOTS, _with_features
 _KEYS = ["conv_id", "turn_idx"]
 _FEATURE_COLS = ["role", "_ft", *[f"_m{i}" for i in range(N_SLOTS)], "_lb"]
 _SCHEMA = (
-    "conv_id string, turn_idx int, role string, _ft array<string>, "
+    "conv_id string, turn_idx int, role string, _ft array<bigint>, "
     + ", ".join(f"_m{i} long" for i in range(N_SLOTS))
     + ", _lb int, ts timestamp, _seq long, _deleted boolean"
 )
