@@ -39,6 +39,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT96 (Spark's legacy default) carries NO parquet min/max
+        # statistics — the sink's per-file watermark lineage reads
+        # footer stats, and modern readers (DuckDB, pyarrow) prefer
+        # MICROS anyway
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")

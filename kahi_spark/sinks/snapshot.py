@@ -18,7 +18,12 @@ snapshot-versioned Parquet table:
   ``KahiDb.py:180,313-315`` and checkpoint append ``Kahi.py:191-200``);
 * the manifest also stores per-commit **lineage + watermark +
   metrics** (rows upserted/deleted, max event ts per commit, wall
-  seconds) — the checkpoint-store tables of SURVEY.md §4.5;
+  seconds) AND per-file stats (rows + ts watermark per written file,
+  read from the parquet FOOTERS — no data scan; under the COW bucket
+  layout file k is conv_id hash-bucket k, so these are the
+  north-rule's per-partition watermarks, the Iceberg per-file
+  column-stats analogue) — the checkpoint-store tables of
+  SURVEY.md §4.5;
 * **schema evolution**: new columns arriving in a change batch are
   added to the table schema (old rows read as NULL), mirroring
   Iceberg ADD COLUMN / Kahi's ad-hoc field addition
@@ -65,6 +70,41 @@ def _lazy(v):
     scanned the batch) — resolve them at commit time, after the
     write."""
     return v() if callable(v) else v
+
+
+def _file_stats(directory: str, ts_col: str = "ts") -> list[dict]:
+    """Per-file lineage for the manifest: (file, rows, ts watermark)
+    read from the parquet FOOTERS of the just-written snapshot/delta
+    — metadata only, no data scan (the Iceberg per-file column-stats
+    analogue; with the COW layout file k IS conv_id hash-bucket k, so
+    these are the north-rule's per-partition watermarks). Bounded by
+    file count (≤ n_buckets for snapshots, ≤ shuffle partitions for
+    deltas)."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(directory)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(directory, name)).metadata
+        ts_idx = next(
+            (i for i in range(md.num_columns) if md.schema.column(i).name == ts_col),
+            None,
+        )
+        wm = None
+        if ts_idx is not None:
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ts_idx).statistics
+                if st is not None and st.has_min_max and st.max is not None:
+                    wm = st.max if wm is None else max(wm, st.max)
+        out.append(
+            {
+                "file": name,
+                "rows": md.num_rows,
+                "ts_max": str(wm) if wm is not None else None,
+            }
+        )
+    return out
 
 
 class SnapshotTable:
@@ -224,6 +264,8 @@ class SnapshotTable:
         resolved = {k: _lazy(v) for k, v in metrics.items()}
         if resolved.get("watermark") is not None:
             resolved["watermark"] = str(resolved["watermark"])
+        # per-bucket lineage from the written footers (metadata-only)
+        resolved["files"] = _file_stats(os.path.join(self.path, snap))
         m["version"] = version
         m["snapshot"] = snap
         if epoch_id is not None:
@@ -371,6 +413,7 @@ class SnapshotTable:
                 "op": "merge-delta",
                 "wall_s": round(time.time() - t0, 3),
                 "watermark": str(wm),
+                "files": _file_stats(os.path.join(self.path, delta_dir)),
                 **{k: _lazy(v) for k, v in (extra or {}).items()},
             }
         )

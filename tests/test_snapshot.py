@@ -79,3 +79,24 @@ def test_lineage_and_watermark_recorded(spark, tmp_table_dir):
     h = t.history()
     assert h[-1]["epoch_id"] == 0
     assert "2024-01-01 00:00:05" in h[-1]["watermark"]
+
+
+def test_per_file_watermarks_in_manifest(spark, tmp_table_dir):
+    """North rule: per-partition watermarks + lineage in the
+    checkpoint store — recorded as per-file (rows, ts_max) stats read
+    from the written parquet footers, for COW snapshots and MOR
+    deltas alike."""
+    for mode in ("cow", "mor"):
+        t = SnapshotTable(spark, f"{tmp_table_dir}-{mode}", n_buckets=2, mode=mode)
+        t.merge(
+            events_df(
+                spark,
+                [ev(0, "insert", "c1", 0, "a", 5), ev(1, "insert", "c2", 0, "b", 9)],
+            ),
+            epoch_id=0,
+        )
+        files = t.history()[-1]["files"]
+        assert files, mode
+        assert sum(f["rows"] for f in files) == 2
+        per_file_max = max(f["ts_max"] for f in files if f["ts_max"] is not None)
+        assert "2024-01-01 00:00:09" in per_file_max, (mode, files)
