@@ -60,9 +60,14 @@ _SCHEMA = (
 
 
 class KeylessFeatureIndex:
-    def __init__(self, spark: SparkSession, path: str) -> None:
+    def __init__(self, spark: SparkSession, path: str, compact_every: int = 8) -> None:
+        """``compact_every``: fold the epoch dirs into one base once
+        more than this many accumulate — bounds the read-side
+        latest-per-key window's input (same cadence contract as the
+        MOR sink's ``compact_every``)."""
         self.spark = spark
         self.path = path
+        self.compact_every = compact_every
 
     # -- storage ------------------------------------------------------------
 
@@ -107,6 +112,8 @@ class KeylessFeatureIndex:
             )
         ).select(*_KEYS, *_FEATURE_COLS, "ts", "_seq", "_deleted")
         self._swap_in(feats, f"epoch_{epoch_id}")
+        if len(self._epoch_dirs()) > self.compact_every:
+            self.compact()
 
     def compact(self) -> None:
         """Fold all epoch dirs into one resolved base (bounded file
