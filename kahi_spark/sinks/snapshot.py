@@ -153,15 +153,52 @@ class SnapshotTable:
                 "snapshot": None,
                 "deltas": [],
                 "epochs": {},
+                "epoch_floor": -1,
                 "commits": [],
             }
         with open(p) as f:
             m = json.load(f)
         m.setdefault("deltas", [])
+        m.setdefault("epoch_floor", -1)
         return m
 
+    #: hot-manifest commit-history cap: older commit records move to an
+    #: append-only archive so the per-commit JSON rewrite stays O(1)
+    #: instead of O(total epochs) — at 10^10 events / millions of
+    #: epochs an unbounded list would make every commit re-serialize
+    #: the whole history (Iceberg's analogue: snapshot log spills to
+    #: separate metadata files)
+    COMMITS_HOT = 256
+
+    #: epoch-ledger cap: epoch ids from Structured Streaming are
+    #: monotone, so once the ledger outgrows this, the contiguous
+    #: committed prefix folds into a single high-watermark
+    #: ``epoch_floor`` (exactly-once check becomes ``id ≤ floor OR id
+    #: in ledger``) — the ledger stays O(gaps), not O(total epochs)
+    EPOCHS_HOT = 512
+
     def _commit_manifest(self, manifest: dict) -> None:
-        """Atomic pointer swap (os.replace is atomic on POSIX)."""
+        """Atomic pointer swap (os.replace is atomic on POSIX); spills
+        commit history past COMMITS_HOT to ``_commits_archive.jsonl``
+        (append-only, before the swap — a crash between the two leaves
+        a duplicate archive line at worst, never a lost record; readers
+        dedup by version)."""
+        epochs = manifest["epochs"]
+        if len(epochs) > self.EPOCHS_HOT:
+            floor = manifest.get("epoch_floor", -1)
+            while str(floor + 1) in epochs:
+                floor += 1
+                epochs.pop(str(floor))
+            manifest["epoch_floor"] = floor
+        commits = manifest["commits"]
+        if len(commits) > self.COMMITS_HOT:
+            spill, manifest["commits"] = (
+                commits[: -self.COMMITS_HOT],
+                commits[-self.COMMITS_HOT :],
+            )
+            with open(os.path.join(self.path, "_commits_archive.jsonl"), "a") as f:
+                for c in spill:
+                    f.write(json.dumps(c, default=str) + "\n")
         tmp = self._manifest_path() + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1, default=str)
@@ -227,11 +264,30 @@ class SnapshotTable:
         )
 
     def committed_epochs(self) -> set[int]:
-        return {int(e) for e in self._read_manifest()["epochs"]}
+        """Introspection/test helper — materializes the floor-implied
+        range, so don't call it with a multi-million-epoch floor."""
+        m = self._read_manifest()
+        return set(range(0, m["epoch_floor"] + 1)) | {int(e) for e in m["epochs"]}
+
+    def _epoch_committed(self, m: dict, epoch_id: int) -> bool:
+        return epoch_id <= m["epoch_floor"] or str(epoch_id) in m["epochs"]
 
     def history(self) -> list[dict]:
-        """Commit log: lineage, watermarks, metrics per commit."""
-        return self._read_manifest()["commits"]
+        """Full commit log: lineage, watermarks, metrics per commit —
+        archived records (see ``_commit_manifest``) plus the hot tail,
+        deduped by version (a crash can leave one archive line
+        duplicated)."""
+        out: dict[int, dict] = {}
+        archive = os.path.join(self.path, "_commits_archive.jsonl")
+        if os.path.exists(archive):
+            with open(archive) as f:
+                for line in f:
+                    if line.strip():
+                        c = json.loads(line)
+                        out[c["version"]] = c
+        for c in self._read_manifest()["commits"]:
+            out[c["version"]] = c
+        return [out[v] for v in sorted(out)]
 
     # --- writes -----------------------------------------------------------
     def _write_snapshot(self, df: DataFrame, version: int) -> str:
@@ -321,7 +377,7 @@ class SnapshotTable:
         if policies and self.mode == "mor":
             raise ValueError("per-column merge policies require mode='cow'")
         m = self._read_manifest()
-        if str(epoch_id) in m["epochs"]:
+        if self._epoch_committed(m, epoch_id):
             return False  # exactly-once: epoch already committed
 
         # ``pre_reduced``: the caller already ran latest_change_per_key

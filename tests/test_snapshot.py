@@ -81,6 +81,43 @@ def test_lineage_and_watermark_recorded(spark, tmp_table_dir):
     assert "2024-01-01 00:00:05" in h[-1]["watermark"]
 
 
+def test_commit_history_spills_to_archive(spark, tmp_table_dir):
+    """The hot manifest keeps only COMMITS_HOT recent commit records;
+    older ones spill to the append-only archive and history() still
+    returns the full, ordered, deduped log."""
+    t = SnapshotTable(spark, tmp_table_dir, n_buckets=2, mode="mor", compact_every=10**9)
+    t.COMMITS_HOT = 3
+    for e in range(6):
+        t.merge(events_df(spark, [ev(e, "insert", f"c{e}", 0, f"t{e}", e)]), epoch_id=e)
+    h = t.history()
+    assert [c["epoch_id"] for c in h] == [0, 1, 2, 3, 4, 5]
+    assert len(t._read_manifest()["commits"]) <= 3
+    import os
+
+    assert os.path.exists(f"{tmp_table_dir}/_commits_archive.jsonl")
+    # exactly-once survives archival: replaying an ARCHIVED epoch no-ops
+    assert t.merge(events_df(spark, [ev(99, "update", "c0", 0, "POISON", 99)]), epoch_id=0) is False
+
+
+def test_epoch_ledger_floor_compaction(spark, tmp_table_dir):
+    """A contiguous committed prefix folds into epoch_floor once the
+    ledger outgrows EPOCHS_HOT — exactly-once and committed_epochs()
+    are unchanged while the hot ledger stays O(gaps)."""
+    t = SnapshotTable(spark, tmp_table_dir, n_buckets=2, mode="mor", compact_every=10**9)
+    t.EPOCHS_HOT = 3
+    for e in range(6):
+        t.merge(events_df(spark, [ev(e, "insert", f"c{e}", 0, f"t{e}", e)]), epoch_id=e)
+    m = t._read_manifest()
+    # compaction fires when the ledger exceeds the cap (epoch 3's
+    # commit folds 0..3); later epochs sit in the dict until the next
+    # overflow
+    assert m["epoch_floor"] >= 3 and len(m["epochs"]) <= 2
+    assert t.committed_epochs() == set(range(6))
+    # floor-covered epochs still replay as no-ops
+    assert t.merge(events_df(spark, [ev(99, "update", "c0", 0, "POISON", 99)]), epoch_id=2) is False
+    assert t.merge(events_df(spark, [ev(100, "insert", "c9", 0, "new", 100)]), epoch_id=6) is True
+
+
 def test_per_file_watermarks_in_manifest(spark, tmp_table_dir):
     """North rule: per-partition watermarks + lineage in the
     checkpoint store — recorded as per-file (rows, ts_max) stats read
