@@ -166,16 +166,84 @@ def decode_image_batch(df: DataFrame, real_codec: bool = False) -> DataFrame:
     return df.mapInPandas(decode, schema=FEATURE_SCHEMA)
 
 
-def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling PLAN: emits one row per sampled frame
-    index (video codecs aren't parseable without external libs).
-    Demonstrates the 1→N explode shape; for REAL sample extraction
-    see ``sample_audio_frames`` (PCM/WAV, pure Python)."""
-    n_frames = (F.length(F.col("payload")) / 1000).cast("int") + 1  # fake frame count
-    idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
-    return df.filter(F.col("kind") == "video").select(
-        "asset_id", F.explode(idx).alias("frame_idx")
+def _mp4_frame_count(b: bytes) -> int | None:
+    """REAL frame count from the ``stts`` (time-to-sample) box:
+    moov → trak → mdia → minf → stbl → stts, sum of the entries'
+    sample counts — pure-Python box walk, same machinery as
+    ``_mp4_dims``."""
+
+    def find(start: int, end: int, path: list[bytes]) -> tuple[int, int] | None:
+        pos = start
+        while pos + 8 <= end:
+            size = int.from_bytes(b[pos : pos + 4], "big")
+            typ = b[pos + 4 : pos + 8]
+            if size < 8:
+                return None
+            if typ == path[0]:
+                inner = (pos + 8, min(pos + size, end))
+                if len(path) == 1:
+                    return inner
+                hit = find(inner[0], inner[1], path[1:])
+                if hit:
+                    return hit
+            pos += size
+        return None
+
+    span = find(0, len(b), [b"moov", b"trak", b"mdia", b"minf", b"stbl", b"stts"])
+    if span is None or span[1] - span[0] < 8:
+        return None
+    s, e = span
+    n_entries = int.from_bytes(b[s + 4 : s + 8], "big")
+    total, pos = 0, s + 8
+    for _ in range(n_entries):
+        if pos + 8 > e:
+            return None
+        total += int.from_bytes(b[pos : pos + 4], "big")
+        pos += 8  # (sample_count, sample_delta)
+    return total
+
+
+def frame_sample_plan(
+    df: DataFrame, every_n: int = 10, real_codec: bool = False
+) -> DataFrame:
+    """Video frame sampling: one row per sampled frame index.
+
+    ``real_codec=True`` reads the REAL frame count from each MP4's
+    ``stts`` box (``_mp4_frame_count``) via mapInPandas — genuine
+    container metadata, 1→N in the same Arrow-batch shape as
+    ``sample_audio_frames``; unparseable payloads emit nothing.
+    Frame PIXELS remain out of scope (no codec libs in this
+    container). The default keeps the synthetic size-derived count
+    for fake-payload tests of the explode shape."""
+    vids = df.filter(F.col("kind") == "video")
+    if not real_codec:
+        n_frames = (F.length(F.col("payload")) / 1000).cast("int") + 1
+        idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+        return vids.select("asset_id", F.explode(idx).alias("frame_idx"))
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+        ]
     )
+
+    def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                n = None if payload is None else _mp4_frame_count(bytes(payload))
+                for i in range(0, n or 0, every_n):
+                    ids.append(aid)
+                    idxs.append(i)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.array(ids, dtype="Int64"),
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                }
+            )
+
+    return vids.mapInPandas(plan, schema=schema)
 
 
 SAMPLE_SCHEMA = T.StructType(
@@ -282,9 +350,10 @@ def _box(typ: bytes, payload: bytes) -> bytes:
     return (8 + len(payload)).to_bytes(4, "big") + typ + payload
 
 
-def _mp4_bytes(w: int, h: int, duration: int = 1000) -> bytes:
+def _mp4_bytes(w: int, h: int, duration: int = 1000, n_frames: int = 0) -> bytes:
     """Minimal valid ISO-BMFF: ftyp + moov/trak/tkhd (v0, unity
-    matrix, 16.16 fixed-point track dims)."""
+    matrix, 16.16 fixed-point track dims); ``n_frames > 0`` adds a
+    real mdia/minf/stbl/stts chain declaring that many samples."""
     tkhd = bytes(4)  # version 0 + flags
     tkhd += bytes(8)  # ctime, mtime
     tkhd += (1).to_bytes(4, "big") + bytes(4) + duration.to_bytes(4, "big")
@@ -295,7 +364,15 @@ def _mp4_bytes(w: int, h: int, duration: int = 1000) -> bytes:
         for x in (0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
     )
     tkhd += (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big")
-    moov = _box(b"moov", _box(b"trak", _box(b"tkhd", tkhd)))
+    trak_payload = _box(b"tkhd", tkhd)
+    if n_frames > 0:
+        # one stts entry: n_frames samples at a uniform delta
+        stts = bytes(4) + (1).to_bytes(4, "big")
+        stts += n_frames.to_bytes(4, "big") + (512).to_bytes(4, "big")
+        trak_payload += _box(
+            b"mdia", _box(b"minf", _box(b"stbl", _box(b"stts", stts)))
+        )
+    moov = _box(b"moov", _box(b"trak", trak_payload))
     ftyp = _box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
     return ftyp + moov
 
@@ -309,7 +386,8 @@ def _real_asset_rows(n: int, n_video: int) -> list[tuple]:
     for i in range(n + n_video):
         w, h = 16 + (i * 13) % 640, 16 + (i * 7) % 480
         if i >= n:  # appended MP4 videos (ids stay stable for tests)
-            rows.append((i, "video", _mp4_bytes(w, h), "video/mp4", w, h))
+            payload = _mp4_bytes(w, h, n_frames=24 + (i - n) * 5)
+            rows.append((i, "video", payload, "video/mp4", w, h))
             continue
         fmt = i % 4
         if fmt == 0:

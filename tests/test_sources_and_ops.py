@@ -160,6 +160,30 @@ def test_multimodal_mp4_box_walk(spark):
     assert all(got[i].kind == "video" for i in range(8, 12))
 
 
+def test_mp4_real_frame_sampling(spark):
+    """Real 1→N video frame enumeration from the stts box: sampled
+    frame indices follow the DECLARED sample count, not payload
+    size."""
+    from kahi_spark.operators.multimodal import (
+        _mp4_bytes,
+        _mp4_frame_count,
+        frame_sample_plan,
+        make_real_assets,
+    )
+
+    assert _mp4_frame_count(_mp4_bytes(64, 64, n_frames=37)) == 37
+    assert _mp4_frame_count(_mp4_bytes(64, 64)) is None  # no stbl chain
+    assets = make_real_assets(spark, n=4, n_video=3)  # ids 4,5,6: 24,29,34 frames
+    got = {}
+    for r in frame_sample_plan(assets, every_n=10, real_codec=True).collect():
+        got.setdefault(r.asset_id, []).append(r.frame_idx)
+    assert got == {
+        4: [0, 10, 20],
+        5: [0, 10, 20],
+        6: [0, 10, 20, 30],
+    }
+
+
 def test_conversation_stats_applyinpandas(spark):
     import datetime as dt
 
