@@ -179,27 +179,34 @@ def main():
 
     phase("keyless_resolve_vs_100k_state", keyless_phase)
 
-    def keyless_indexed_phase():
-        """Same resolve, but the state features come from the
-        persistent KeylessFeatureIndex (built once, outside the timed
-        region) — the per-batch cost once state featurization is
-        incremental, i.e. the steady-state shape at 10^10 rows."""
-        from kahi_spark.operators.keyless import resolve_keyless_events
-        from kahi_spark.sinks.keyless_index import KeylessFeatureIndex
+    # one-time index build OUTSIDE the timed phase: the steady-state
+    # question is the per-batch resolve cost once state featurization
+    # is incremental (the build is the amortized merge-time cost)
+    from kahi_spark.sinks.keyless_index import KeylessFeatureIndex
 
-        state_ev = docs.select(
-            F.col("doc_id").cast("string").alias("seq_str"),
-            F.col("doc_id").alias("seq"),
-            F.lit("insert").alias("op"),
-            F.concat(F.lit("s"), F.col("doc_id").cast("string")).alias("conv_id"),
-            F.pmod(F.col("doc_id"), F.lit(25)).cast("int").alias("turn_idx"),
-            F.when(F.col("doc_id") % 2 == 0, "user").otherwise("assistant").alias("role"),
-            "text",
-            F.lit(None).cast("timestamp").alias("ts"),
-        ).drop("seq_str")
-        idx = KeylessFeatureIndex(spark, f"{tmp}/keyless_index")
-        if not idx._epoch_dirs():
-            idx.update(state_ev, epoch_id=0)  # one-time build, untimed for resolve
+    _kidx = KeylessFeatureIndex(spark, f"{tmp}/keyless_index")
+    if not _kidx._epoch_dirs():
+        t0 = time.time()
+        _kidx.update(
+            docs.select(
+                F.col("doc_id").alias("seq"),
+                F.lit("insert").alias("op"),
+                F.concat(F.lit("s"), F.col("doc_id").cast("string")).alias("conv_id"),
+                F.pmod(F.col("doc_id"), F.lit(25)).cast("int").alias("turn_idx"),
+                F.when(F.col("doc_id") % 2 == 0, "user").otherwise("assistant").alias("role"),
+                "text",
+                F.lit(None).cast("timestamp").alias("ts"),
+            ),
+            epoch_id=0,
+        )
+        out["keyless_index_build_s"] = round(time.time() - t0, 1)
+
+    def keyless_indexed_phase():
+        """Same resolve, state features from the persistent index —
+        the per-batch cost at the 10^10-row steady state."""
+        from kahi_spark.operators.keyless import resolve_keyless_events
+
+        idx = _kidx
         probes = docs.filter(F.col("doc_id") % 20 == 3).select(
             (F.col("doc_id") + 1_000_000_000).alias("seq"),
             F.lit("update").alias("op"),
