@@ -413,7 +413,7 @@ def _build_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: bump when _build_feed's payload shapes change (invalidates the cache)
-_FEED_CACHE_VER = 2
+_FEED_CACHE_VER = 3
 
 
 def _feed_path(spark: SparkSession, sf_dir: str) -> str:
@@ -432,7 +432,13 @@ def _feed_path(spark: SparkSession, sf_dir: str) -> str:
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.build-{uuid.uuid4().hex}"
-        _build_feed(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+        # 32 files, hash-assigned by seq (deterministic): one fat file
+        # is one row group = ONE scan task, single-threading the whole
+        # map side of every consumer (the pipeline's binlog-layout
+        # lesson applied to the feed fixture)
+        _build_feed(spark, sf_dir).repartition(32, F.col("seq")).write.mode(
+            "overwrite"
+        ).parquet(tmp)
         try:
             os.rename(tmp, path)
         except OSError:

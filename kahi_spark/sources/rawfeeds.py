@@ -132,9 +132,8 @@ def _canon(op, conv_id, turn_idx, role, text, tool, ts) -> Column:
     )
 
 
-def lens_struct(payload: Column) -> Column:
+def lens_fields(p: Column) -> Column:
     """Nested-JSON feed → canonical struct (``Lens.py:13-143``)."""
-    p = F.from_json(payload, LENS_PAYLOAD)
     return _canon(
         F.coalesce(p["operation"], F.lit("insert")),
         p["conversation"]["id"],
@@ -146,10 +145,9 @@ def lens_struct(payload: Column) -> Column:
     )
 
 
-def wos_struct(payload: Column) -> Column:
+def wos_fields(p: Column) -> Column:
     """Flat-tag feed → canonical struct (``WebOfScience.py:23-182``;
     composite id split per F15, ``WebOfScience.py:163``)."""
-    p = F.from_json(payload, WOS_PAYLOAD)
     op = (
         F.when(p["OP"] == "D", "delete")
         .when(p["OP"] == "U", "update")
@@ -166,12 +164,11 @@ def wos_struct(payload: Column) -> Column:
     )
 
 
-def scopus_struct(payload: Column) -> Column:
+def scopus_fields(p: Column) -> Column:
     """CSV-export-header feed → canonical struct
     (``Scopus.py:17-157``; stringly ints use the F8 safe cast)."""
     from kahi_spark.functions.scalars import safe_int_expr
 
-    p = F.from_json(payload, SCOPUS_PAYLOAD)
     return _canon(
         F.lower(F.coalesce(p["Op"], F.lit("insert"))),
         p["Conv Id"],
@@ -183,11 +180,10 @@ def scopus_struct(payload: Column) -> Column:
     )
 
 
-def scielo_struct(payload: Column) -> Column:
+def scielo_fields(p: Column) -> Column:
     """Spanish-keyed feed → canonical struct (``Scielo.py:22-146``:
     field-name translation, op vocabulary map, dd/MM/yyyy dates,
     composite 'T<k>' turn per F15)."""
-    p = F.from_json(payload, SCIELO_PAYLOAD)
     op = (
         F.when(p["accion"] == "BAJA", "delete")
         .when(p["accion"] == "CAMBIO", "update")
@@ -204,10 +200,9 @@ def scielo_struct(payload: Column) -> Column:
     )
 
 
-def scholar_struct(payload: Column) -> Column:
+def scholar_fields(p: Column) -> Column:
     """Cluster-keyed feed → canonical struct (``Scholar.py:13-125``;
     epoch-millis timestamps)."""
-    p = F.from_json(payload, SCHOLAR_PAYLOAD)
     op = (
         F.when(p["verb"] == "del", "delete")
         .when(p["verb"] == "mod", "update")
@@ -224,12 +219,11 @@ def scholar_struct(payload: Column) -> Column:
     )
 
 
-def oadoi_struct(payload: Column) -> Column:
+def oadoi_fields(p: Column) -> Column:
     """Enrichment feed: text-only UPDATE events (``Oadoi.py:12-60``:
     OADOI never creates records, it enriches existing ones — op is
     always update; the merge layer's fill policies decide what
     lands)."""
-    p = F.from_json(payload, OADOI_PAYLOAD)
     return _canon(
         F.lit("update"),
         p["id"],
@@ -241,11 +235,10 @@ def oadoi_struct(payload: Column) -> Column:
     )
 
 
-def doaj_struct(payload: Column) -> Column:
+def doaj_fields(p: Column) -> Column:
     """Enrichment feed: tool-metadata-only UPDATE events
     (``Doaj.py:12-58``: DOAJ supplies journal metadata for existing
     serials — here, tool annotations for existing turns)."""
-    p = F.from_json(payload, DOAJ_PAYLOAD)
     return _canon(
         F.lit("update"),
         p["conv"],
@@ -255,6 +248,49 @@ def doaj_struct(payload: Column) -> Column:
         p["tool_name"],
         F.timestamp_seconds(p["updated_epoch"]),
     )
+
+
+def lens_struct(payload: Column) -> Column:
+    return lens_fields(F.from_json(payload, LENS_PAYLOAD))
+
+def wos_struct(payload: Column) -> Column:
+    return wos_fields(F.from_json(payload, WOS_PAYLOAD))
+
+def scopus_struct(payload: Column) -> Column:
+    return scopus_fields(F.from_json(payload, SCOPUS_PAYLOAD))
+
+def scielo_struct(payload: Column) -> Column:
+    return scielo_fields(F.from_json(payload, SCIELO_PAYLOAD))
+
+def scholar_struct(payload: Column) -> Column:
+    return scholar_fields(F.from_json(payload, SCHOLAR_PAYLOAD))
+
+def oadoi_struct(payload: Column) -> Column:
+    return oadoi_fields(F.from_json(payload, OADOI_PAYLOAD))
+
+def doaj_struct(payload: Column) -> Column:
+    return doaj_fields(F.from_json(payload, DOAJ_PAYLOAD))
+
+
+SCHEMAS = {
+    "lens": LENS_PAYLOAD,
+    "wos": WOS_PAYLOAD,
+    "scopus": SCOPUS_PAYLOAD,
+    "scielo": SCIELO_PAYLOAD,
+    "scholar": SCHOLAR_PAYLOAD,
+    "oadoi": OADOI_PAYLOAD,
+    "doaj": DOAJ_PAYLOAD,
+}
+
+FIELDS = {
+    "lens": lens_fields,
+    "wos": wos_fields,
+    "scopus": scopus_fields,
+    "scielo": scielo_fields,
+    "scholar": scholar_fields,
+    "oadoi": oadoi_fields,
+    "doaj": doaj_fields,
+}
 
 
 STRUCTS = {
@@ -310,10 +346,28 @@ def normalize_feeds(feed: DataFrame) -> DataFrame:
     """P5 dispatch in ONE scan: a CASE-WHEN over the per-source parsed
     structs. ``feed`` has (seq, source, payload). Unknown sources
     yield a NULL struct (dropped — the reference skips unparseable
-    records too)."""
+    records too).
+
+    Each source's ``from_json`` materializes as its OWN source-gated
+    column first (``when(source==s, from_json(...))`` — lazy, so each
+    row is parsed exactly once, by its own schema), and the CASE
+    branches only EXTRACT fields from the parsed structs. Referencing
+    ``from_json`` directly inside the branch struct would re-parse
+    the payload once per canonical field (7×/row — measured 3.5× the
+    whole normalize cost; the same re-evaluation family as the
+    transform-lambda and CollapseProject pitfalls)."""
+    parsed = feed.select(
+        "seq",
+        "source",
+        *[
+            F.when(F.col("source") == src, F.from_json(F.col("payload"), SCHEMAS[src]))
+            .alias(f"_p_{src}")
+            for src in SCHEMAS
+        ],
+    )
     expr: Column | None = None
-    for src, fn in STRUCTS.items():
-        branch = fn(F.col("payload"))
+    for src, fn in FIELDS.items():
+        branch = fn(F.col(f"_p_{src}"))
         expr = (
             F.when(F.col("source") == src, branch)
             if expr is None
@@ -321,7 +375,7 @@ def normalize_feeds(feed: DataFrame) -> DataFrame:
         )
     assert expr is not None
     return (
-        feed.select("seq", "source", expr.alias("_c"))
+        parsed.select("seq", "source", expr.alias("_c"))
         .filter(F.col("_c").isNotNull())
         .select("seq", *[F.col(f"_c.{f}").alias(f) for f in CANON_FIELDS], "source")
     )
