@@ -34,7 +34,12 @@ def _t(sf_dir: str, name: str) -> str:
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(_t(sf_dir, name))
+    # heavy tables route through the once-per-sf resharded copy (a
+    # single-file/single-row-group table caps the scan stage at ONE
+    # task — see sources/testdata.py); oracles read the originals
+    from kahi_spark.sources.testdata import read_table
+
+    return read_table(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------------------

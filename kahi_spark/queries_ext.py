@@ -36,7 +36,10 @@ from kahi_spark.sources.events import derive_events_duckdb_sql, derive_transcrip
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # heavy tables via the resharded copy (see sources/testdata.py)
+    from kahi_spark.sources.testdata import read_table
+
+    return read_table(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------------------

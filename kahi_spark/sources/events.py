@@ -51,48 +51,14 @@ FROM {events}
 """
 
 
-#: bump when the reshard layout changes
-_EVENTS_SHARD_VER = 1
-
-
-def _sharded_events_path(spark: SparkSession, sf_dir: str) -> str:
-    """Content-identical 32-file copy of the driver's single-file
-    ``events.parquet``, materialized once per scale factor.
-
-    The driver table is ONE file = one row group = one scan task, so
-    every CDC query's map side (derive + normalize expressions) would
-    run single-threaded regardless of core count — the same layout
-    trap as a one-fat-file binlog epoch (see BASELINE.md). Rows are
-    hash-assigned by event_id (deterministic); the DuckDB oracles
-    keep reading the original file, so results are unchanged by
-    construction."""
-    import os
-    import shutil
-    import uuid
-
-    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    path = f"/tmp/kahi_events_shards_v{_EVENTS_SHARD_VER}/{sf_tag}"
-    if not os.path.exists(path):
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = f"{path}.build-{uuid.uuid4().hex}"
-        from pyspark.sql import functions as F
-
-        (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
-            .repartition(32, F.col("event_id"))
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-    return path
-
-
 def derive_transcript_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transcript change log derived from the driver events table."""
-    events = spark.read.parquet(_sharded_events_path(spark, sf_dir))
+    """Transcript change log derived from the driver events table
+    (read through the once-per-sf resharded copy — the single-file
+    original caps the derive+normalize map side at one scan task; see
+    ``sources/testdata.py``)."""
+    from kahi_spark.sources.testdata import read_table
+
+    events = read_table(spark, sf_dir, "events")
     events.createOrReplaceTempView("_raw_events")
     return spark.sql(DERIVE_EVENTS_SQL.format(events="_raw_events"))
 
