@@ -132,13 +132,15 @@ def _mp4_dims(b: bytes) -> tuple[int | None, int | None]:
     )
 
 
-def decode_image_batch(df: DataFrame, real_codec: bool = False) -> DataFrame:
+def decode_image_batch(df: DataFrame, real_codec: bool = True) -> DataFrame:
     """payload → (n_bytes, width, height, checksum) via mapInPandas.
 
     Arrow-batched; one Python worker pass over each partition.
-    ``real_codec=True`` parses real container headers
-    (``_parse_header``); the default fake decoder derives
-    deterministic dims from byte content (synthetic-payload tests)."""
+    The DEFAULT parses real container headers (``_parse_header`` —
+    PNG/BMP/GIF/WAV/MP4); ``real_codec=False`` opts into the fake
+    decoder that derives deterministic dims from byte content, for
+    synthetic-payload plumbing tests ONLY (default flipped in round
+    4 so no caller silently gets plausible-looking fake dims)."""
     parse = _parse_header if real_codec else _fake_decode
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -204,17 +206,18 @@ def _mp4_frame_count(b: bytes) -> int | None:
 
 
 def frame_sample_plan(
-    df: DataFrame, every_n: int = 10, real_codec: bool = False
+    df: DataFrame, every_n: int = 10, real_codec: bool = True
 ) -> DataFrame:
     """Video frame sampling: one row per sampled frame index.
 
-    ``real_codec=True`` reads the REAL frame count from each MP4's
-    ``stts`` box (``_mp4_frame_count``) via mapInPandas — genuine
-    container metadata, 1→N in the same Arrow-batch shape as
+    The DEFAULT reads the REAL frame count from each MP4's ``stts``
+    box (``_mp4_frame_count``) via mapInPandas — genuine container
+    metadata, 1→N in the same Arrow-batch shape as
     ``sample_audio_frames``; unparseable payloads emit nothing.
     Frame PIXELS remain out of scope (no codec libs in this
-    container). The default keeps the synthetic size-derived count
-    for fake-payload tests of the explode shape."""
+    container). ``real_codec=False`` opts into the synthetic
+    size-derived count for fake-payload tests of the explode shape
+    (default flipped in round 4)."""
     vids = df.filter(F.col("kind") == "video")
     if not real_codec:
         n_frames = (F.length(F.col("payload")) / 1000).cast("int") + 1

@@ -751,12 +751,13 @@ _BIGRAMS_SQL = (
 def q_keyless_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP3 (``KahiDb.py:161-242, 385-450``): every 17th event loses
     its conv_id; the resolver blocks conjunctively on (turn_idx,
-    bigram-set-size bucket, any-of-N MinHash slots over the feature
-    set), scores char-bigram Jaccard with a feature-Jaccard
-    tie-break, applies the staged cascade (high bare-text OR mid +
+    feature-set-size bucket, any-of-N MinHash slots over the feature
+    set), scores feature-set Jaccard (word-3gram shingles, falling
+    back to char bigrams for short texts — the round-3 dual-regime
+    featurization), applies the staged cascade (high score OR mid +
     matching role), picks first (W1), and mints a surrogate key when
     nothing matches. Fully deterministic (md5-keyed MinHash) → the
-    oracle replicates blocking, both scores, cascade and tie-breaks."""
+    oracle replicates blocking, the score, cascade and tie-breaks."""
     from kahi_spark.operators.keyless import resolve_keyless_events
     from kahi_spark.operators.merge import normalize_events, reduce_events_to_state
 
@@ -980,14 +981,147 @@ SELECT * FROM h0 UNION ALL SELECT * FROM h1
 """
 
 
+# ---------------------------------------------------------------------------
+# persisted-expected oracles for the difflib entries.  difflib is not
+# SQL-expressible, but the EXPECTED OUTPUT is exactly computable by a
+# pure-pandas reimplementation of the cascade (same deterministic
+# scalar scorers, INDEPENDENT plain-loop machinery — no blocking
+# join, no anti-join staging, no window pick-first).  The query call
+# regenerates the fixture for ITS sf_dir (the probe/cand rows derive
+# from the sf's customer/documents tables), atomic-rename at a fixed
+# path the static oracle SQL reads; both the pytest mirror and the
+# driver run query-then-oracle per name, so the fixture is always
+# fresh for the sf under compare.  Gate-scale only (a few KB).
+# ---------------------------------------------------------------------------
+
+_EXPECTED_CORR_PQ = "/tmp/kahi_expected_corresponding_v1.parquet"
+_EXPECTED_COLAV_PQ = "/tmp/kahi_expected_colav_v1.parquet"
+
+
+def _round6_half_up(x: float) -> float:
+    """Mirror Spark's ``F.round(col, 6)``: BigDecimal HALF_UP on the
+    exact binary double (NOT Python's banker's rounding)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def _atomic_write_parquet(pdf, path: str) -> None:
+    tmp = path + f".tmp.{os.getpid()}"
+    pdf.to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+
+
+def _ensure_expected_corresponding(sf_dir: str) -> None:
+    """Plain-loop ground truth for ``q_corresponding_author``: the
+    staged difflib cascade (partial_ratio → token_set →
+    partial_token_set, each ≥ 0.9, best-score-then-lowest-cand-id
+    within a stage, later stages see only unresolved probes) over the
+    same probe/cand construction, driven by dict-at-a-time Python
+    like the reference (``Scopus.py:268-287``) rather than by joins."""
+    from difflib import SequenceMatcher
+
+    import pandas as pd
+
+    from kahi_spark.operators.fuzzy import _partial_ratio_py
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+    )
+    name = (cust.c_mktsegment + " " + cust.c_name).str.lower()
+    probes = [
+        (int(k), int(b), n)
+        for k, b, n in zip(cust.c_custkey, cust.c_nationkey, name)
+        if k < 40
+    ]
+    cands = [
+        (int(k) + 1_000_000, int(b), f"email: {n}, office {int(k)}")
+        for k, b, n in zip(cust.c_custkey, cust.c_nationkey, name)
+    ]
+
+    def norm(s: str) -> str:
+        return " ".join(sorted(set(str(s).lower().split())))
+
+    scorers = [
+        lambda x, y: _partial_ratio_py(x, y),
+        lambda x, y: SequenceMatcher(None, norm(x), norm(y)).ratio(),
+        lambda x, y: _partial_ratio_py(norm(x), norm(y)),
+    ]
+    out, unresolved = [], probes
+    for stage, scorer in enumerate(scorers):
+        still = []
+        for pid, blk, pname in unresolved:
+            best = None  # (score, cand_id)
+            for cid, cblk, caddr in cands:
+                if cblk != blk or cid == pid:
+                    continue
+                s = scorer(pname, caddr)
+                if s >= 0.9 and (best is None or s > best[0] or (s == best[0] and cid < best[1])):
+                    best = (s, cid)
+            if best is None:
+                still.append((pid, blk, pname))
+            else:
+                out.append((pid, best[1], _round6_half_up(best[0]), stage))
+        unresolved = still
+    pdf = pd.DataFrame(out, columns=["probe_id", "cand_id", "score", "stage"])
+    pdf = pdf.astype(
+        {"probe_id": "int64", "cand_id": "int64", "score": "float64", "stage": "int32"}
+    )
+    _atomic_write_parquet(pdf, _EXPECTED_CORR_PQ)
+
+
+ORACLE_CORRESPONDING = f"""
+SELECT probe_id, cand_id, score, stage
+FROM read_parquet('{_EXPECTED_CORR_PQ}')
+"""
+
+
+def _ensure_expected_colav(sf_dir: str) -> None:
+    """Plain-loop ground truth for ``q_colav_similarity_match``: the
+    full ``colav_similarity`` decision (``KahiDb.py:23-110``) over
+    every lang-blocked (probe, cand) pair — the reference's own
+    O(N·M) candidate-loop shape, no Spark machinery."""
+    import pandas as pd
+
+    from kahi_spark.operators.fuzzy import colav_similarity_py
+
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    docs = docs[docs.doc_id < 30]
+    out = []
+    for _, p in docs.iterrows():
+        for _, c in docs.iterrows():
+            if p.lang != c.lang:
+                continue
+            if colav_similarity_py(
+                p.text[:90],
+                c.text[7:107],
+                p.source,
+                c.source,
+                int(p.doc_id) % 3,
+                int(c.doc_id) % 3,
+            ):
+                out.append((int(p.doc_id), int(c.doc_id) + 1000))
+    pdf = pd.DataFrame(out, columns=["probe_id", "cand_id"]).astype("int64")
+    _atomic_write_parquet(pdf, _EXPECTED_COLAV_PQ)
+
+
+ORACLE_COLAV = f"""
+SELECT probe_id, cand_id FROM read_parquet('{_EXPECTED_COLAV_PQ}')
+"""
+
+
 def q_corresponding_author(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6: the reference's corresponding-author cascade with the REAL
     pandas scorer family (``Scopus.py:268-287``: partial_ratio>90 →
     token_set>90 → partial_token_set>90) — a short author name probed
-    against 'Correspondence Address' blobs. difflib scoring is
-    deterministic but not SQL-expressible, so this entry is
-    rows-only-gated; cross-engine-exact cascade semantics are gated
-    via ``fuzzy_staged_cascade`` (JVM scorer)."""
+    against 'Correspondence Address' blobs. difflib scoring is not
+    SQL-expressible, so the oracle reads the persisted plain-loop
+    ground truth (``_ensure_expected_corresponding``) — a VALUE gate
+    on the distributed blocking/staging/pick-first machinery."""
+    _ensure_expected_corresponding(sf_dir)
     from kahi_spark.operators.fuzzy import (
         partial_ratio_pandas,
         partial_token_set_ratio_pandas,
@@ -1401,9 +1535,13 @@ def q_colav_similarity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``colav_similarity``, ``KahiDb.py:23-110``: direct ratio →
     multi-language bracket variants → partial + journal/year rescue),
     as an Arrow-batched boolean scorer over lang-blocked candidate
-    pairs. difflib scoring → rows-only gate; the cross-engine-exact
-    cascade shape is gated via ``fuzzy_staged_cascade``."""
+    pairs. difflib scoring is not SQL-expressible, so the oracle
+    reads the persisted plain-candidate-loop ground truth
+    (``_ensure_expected_colav``) — a VALUE gate on the blocked
+    distributed evaluation of THE colav decision."""
     from kahi_spark.operators.fuzzy import colav_similarity_pandas
+
+    _ensure_expected_colav(sf_dir)
 
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
     probes = docs.select(
@@ -1453,8 +1591,13 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule: Spark session windows are half-open ``[ts, ts+gap)``, so an
     event arriving at EXACTLY the gap starts a new session (hence
     ``>=`` in the oracle, where the hand-rolled ``sessionize_events``
-    uses ``>``)."""
-    ev = _read(spark, sf_dir, "events")
+    uses ``>``).
+
+    Original single-file events read (not read_table): the
+    ``round(sum(value), 4)`` output is order-sensitive at x.xxxx5
+    boundaries and a multi-split input makes partial-sum merge order
+    scheduling-dependent (see sources/testdata.py SHARD_KEYS note)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(
@@ -1701,6 +1844,10 @@ ORACLES_EXT: dict[str, str] = {
     "csv_worklist_pending": ORACLE_CSV_WORKLIST,
     "keyless_resolution": _oracle_keyless(),
     "fuzzy_staged_cascade": ORACLE_FUZZY_CASCADE,
+    # difflib cascades: persisted plain-loop ground truth (see
+    # _ensure_expected_corresponding / _ensure_expected_colav)
+    "corresponding_author": ORACLE_CORRESPONDING,
+    "colav_similarity_match": ORACLE_COLAV,
     "conversation_stats": _oracle_conversation_stats(),
     "id_assignment": ORACLE_ID_ASSIGNMENT,
     "session_window_native": ORACLE_SESSION_WINDOW,

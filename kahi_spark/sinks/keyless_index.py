@@ -100,7 +100,14 @@ class KeylessFeatureIndex:
     def update(self, normalized_batch: DataFrame, epoch_id: int) -> None:
         """Featurize the batch's final change per key and persist it
         under this epoch (idempotent). Deletes are kept as tombstone
-        rows so ``features()`` can drop the key."""
+        rows so ``features()`` can drop the key.
+
+        ASSUMES plain LWW table semantics: the features are computed
+        from the batch's LWW-winning text, so a sink configured with
+        per-column merge policies (fill_empty / source-priority)
+        could hold final text that differs from what was indexed —
+        feature drift. ``CdcPipeline.__init__`` rejects that
+        combination."""
         from kahi_spark.operators.merge import latest_change_per_key
 
         reduced = latest_change_per_key(normalized_batch)

@@ -338,6 +338,23 @@ class SnapshotTable:
         self._commit_manifest(m)
         self._gc(keep=4)
 
+    def record_empty_epoch(self, epoch_id: int) -> bool:
+        """Commit an epoch id that carried no rows (manifest-only, no
+        write action, no version bump — the epoch maps to the current
+        version).  Without this, an empty micro-batch would leave a
+        PERMANENT gap in the epoch ledger and the ``epoch_floor``
+        compaction in ``_commit_manifest`` could never advance past
+        it, regrowing the ledger O(total epochs) — exactly the
+        unbounded-state failure the floor exists to prevent.
+        Idempotent like ``merge``; returns False if already
+        committed."""
+        m = self._read_manifest()
+        if self._epoch_committed(m, epoch_id):
+            return False
+        m["epochs"][str(epoch_id)] = m["version"]
+        self._commit_manifest(m)
+        return True
+
     def _gc(self, keep: int) -> None:
         """Drop snapshot dirs older than the last ``keep`` versions
         (Iceberg expire_snapshots analogue)."""

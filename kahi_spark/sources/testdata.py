@@ -40,9 +40,14 @@ SHARD_VER = 1
 #: split the partial-sum merge order is scheduling-dependent — a sum
 #: landing on a x.xxxx5 rounding boundary then flips run-to-run and
 #: flakes the oracle value hash (single-split input ⇒ one partial per
-#: reducer stream ⇒ deterministic order). The sharded tables feed
-#: only order-independent math: integer counts/mins/maxes, per-row
-#: ratios, set intersections, per-pair dot products.
+#: reducer stream ⇒ deterministic order).  `events` IS sharded — its
+#: heavy consumers (the CDC derive/normalize family) emit only text
+#: and integers — but the two queries that round-sum `events.value`
+#: (q_sessionize_events, q_tumbling_hourly) therefore read the
+#: ORIGINAL single-file table directly, bypassing read_table.
+#: Every other sharded consumer is order-independent math: integer
+#: counts/mins/maxes, per-row ratios, set intersections, per-pair
+#: dot products.
 SHARD_KEYS = {
     "events": "event_id",
     "documents": "doc_id",

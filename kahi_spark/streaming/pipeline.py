@@ -98,6 +98,20 @@ class CdcPipeline:
         self.resolve_keyless = resolve_keyless
         self.dedup_index = dedup_index
         self.keyless_index = keyless_index
+        if keyless_index is not None and policies:
+            # the index featurizes each batch's LWW-winning text, but
+            # per-column COW policies (fill_empty / source-priority)
+            # can make the TABLE's final text differ from the LWW
+            # change's text — index features would silently drift
+            # from actual state and resolver accuracy would degrade.
+            # Rebuild-from-post-merge-state support would fix this;
+            # until then the combination is rejected loudly.
+            raise ValueError(
+                "keyless_index is incompatible with per-column merge "
+                "policies: the index tracks LWW-winning batch text, "
+                "which policies can override in the table state "
+                "(feature drift). Drop policies or keyless_index."
+            )
         self.metrics: list[dict] = []
 
     def _converge(self, normalized: DataFrame) -> DataFrame:
@@ -134,6 +148,10 @@ class CdcPipeline:
         stats = batch.agg(F.count(F.lit(1)).alias("n"), F.max("ts").alias("wm")).collect()[0]
         n, wm = stats.n, stats.wm
         if n == 0:
+            # still commit the epoch id: an unrecorded empty epoch
+            # would stall the ledger's epoch_floor compaction forever
+            # (the floor only folds a contiguous committed prefix)
+            self.table.record_empty_epoch(epoch_id)
             return
         fancy = self.resolve_keyless or self.dedup_index is not None or self.converge_sources
         if not fancy:
@@ -151,7 +169,14 @@ class CdcPipeline:
             # groups, per-source rows), so they keep normalize-first.
             from kahi_spark.operators.merge import latest_change_per_key
 
-            reduced = latest_change_per_key(batch, salt_buckets=self.salt_buckets)
+            # reduce on the TABLE's key, not the module default — a
+            # table constructed with non-default key_cols would
+            # otherwise get a wrong-key pre-reduction and hand merge
+            # (pre_reduced=True skips its own reduce) multiple rows
+            # per real key
+            reduced = latest_change_per_key(
+                batch, key_cols=self.table.key_cols, salt_buckets=self.salt_buckets
+            )
             normalized = normalize_events(
                 reduced, use_pandas_cleaner=self.use_pandas_cleaner
             )

@@ -99,15 +99,15 @@ def test_multimodal_decode_plumbing(spark):
     )
 
     assets = make_fake_assets(spark, n=30)
-    feats = decode_image_batch(assets)
+    feats = decode_image_batch(assets, real_codec=False)
     rows = feats.collect()
     assert len(rows) == 30
     assert all(r.n_bytes and r.width and r.height and r.checksum is not None for r in rows)
     # deterministic across runs
-    again = {r.asset_id: (r.width, r.height, r.checksum) for r in decode_image_batch(assets).collect()}
+    again = {r.asset_id: (r.width, r.height, r.checksum) for r in decode_image_batch(assets, real_codec=False).collect()}
     assert again == {r.asset_id: (r.width, r.height, r.checksum) for r in rows}
     # frame sampling explodes 1→N only for videos
-    fs = frame_sample_plan(assets, every_n=3)
+    fs = frame_sample_plan(assets, every_n=3, real_codec=False)
     assert fs.count() > 0
     assert fs.join(assets.filter("kind != 'video'"), "asset_id", "inner").count() == 0
 
