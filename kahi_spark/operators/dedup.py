@@ -159,17 +159,35 @@ def verify_jaccard(
     )
 
 
-def minhash_signatures(
-    shingles: DataFrame, id_col: str = "doc_id", n_hashes: int = 64, seed: int = 42
-) -> DataFrame:
-    """MinHash signature per doc: h_i(x) = (a_i·x + b_i) mod p over
-    xxhash64 shingle hashes, min-aggregated — one shuffle, map-side
-    combinable (min is algebraic)."""
+def minhash_coeffs(n_hashes: int = 64, seed: int = 42) -> list[tuple[int, int]]:
+    """The (a_i, b_i) universal-permutation coefficients shared by
+    the Spark signatures and any SQL oracle that mirrors them."""
     import random
 
     rnd = random.Random(seed)
-    coeffs = [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(n_hashes)]
-    h = F.pmod(F.xxhash64("shingle"), F.lit(_P))
+    return [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(n_hashes)]
+
+
+def minhash_signatures(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """MinHash signature per doc: h_i(x) = (a_i·x + b_i) mod p over
+    hashed shingles, min-aggregated — one shuffle, map-side
+    combinable (min is algebraic).
+
+    ``portable=False`` (production) hashes shingles with xxhash64 —
+    the fast JVM path. ``portable=True`` uses the 60-bit md5 hash
+    (``h60_md5_expr``) that DuckDB reproduces bit-for-bit, so an
+    oracle can mirror the SIGNATURES themselves (needed when the
+    verdict is signature-estimated Jaccard, not exact-Jaccard —
+    see sinks/dedup_index.py)."""
+    coeffs = minhash_coeffs(n_hashes, seed)
+    base = h60_md5_expr(F.col("shingle")) if portable else F.xxhash64("shingle")
+    h = F.pmod(base, F.lit(_P))
     aggs = [
         F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P))).alias(f"mh_{i}")
         for i, (a, b) in enumerate(coeffs)

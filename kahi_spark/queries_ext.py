@@ -807,7 +807,15 @@ def _jacc_sql(a: str, b: str) -> str:
     )
 
 
-def _oracle_keyless() -> str:
+def _oracle_keyless(
+    null_pred: str = "seq % 17 = 0", state_pred: str = "TRUE"
+) -> str:
+    """Closed-form SQL mirror of the keyless resolver.
+
+    ``null_pred``: which events lose their conv_id and become probes
+    (also the final output filter).  ``state_pred``: which events
+    form the candidate state (``TRUE`` = the whole log; the
+    incremental-index entry restricts it to epochs 0-1)."""
     from kahi_spark.operators.keyless import HIGH, MID, MIN_SHINGLES, N_SLOTS
     from kahi_spark.sources.events import norm_events_cte
 
@@ -825,14 +833,14 @@ def _oracle_keyless() -> str:
         + f"""
 , evk AS (
     SELECT seq, op, turn_idx, role, text,
-           CASE WHEN seq % 17 = 0 THEN NULL ELSE conv_id END AS conv_id,
+           CASE WHEN {null_pred} THEN NULL ELSE conv_id END AS conv_id,
            ts
     FROM norm
 ),
 latest AS (
     SELECT *, row_number() OVER (
         PARTITION BY conv_id, turn_idx ORDER BY ts DESC, seq DESC) AS rn
-    FROM evk WHERE conv_id IS NOT NULL
+    FROM evk WHERE conv_id IS NOT NULL AND ({state_pred})
 ),
 state AS (
     SELECT conv_id, turn_idx, role, text
@@ -896,7 +904,7 @@ best AS (
 )
 SELECT e.seq, coalesce(b.c_conv, 'u' || CAST(e.seq AS STRING)) AS conv_id
 FROM evk e LEFT JOIN best b ON e.seq = b.p_seq
-WHERE e.seq % 17 = 0
+WHERE {null_pred}
 """
     )
 

@@ -52,7 +52,17 @@ class LshDedupIndex:
         threshold: float = 0.8,
         shingle_n: int = 3,
         seed: int = 42,
+        portable: bool = False,
     ) -> None:
+        """``portable=True`` computes signatures with the md5-based
+        60-bit shingle hash so a DuckDB oracle can mirror them
+        bit-for-bit (gate path); default stays xxhash64 (scale
+        path). Note: with ``threshold > 1 - n_bands/n_hashes`` the
+        band join is RECALL-EXACT by pigeonhole — a pair with
+        ≥ threshold·n_hashes equal slots has fewer than n_bands
+        unequal slots, so at least one band is fully equal — which
+        is what lets the oracle skip mirroring band hashing
+        entirely (see queries_index._oracle_incremental_dedup)."""
         self.spark = spark
         self.path = path
         self.n_hashes = n_hashes
@@ -61,6 +71,7 @@ class LshDedupIndex:
         self.threshold = threshold
         self.shingle_n = shingle_n
         self.seed = seed
+        self.portable = portable
 
     # -- signature construction -------------------------------------------
 
@@ -68,7 +79,13 @@ class LshDedupIndex:
         """(key, sig array<long>) — one aggregation over exploded
         shingles (map-side combinable mins)."""
         sh = shingle_df(df, id_col=key_col, text_col=text_col, n=self.shingle_n)
-        wide = minhash_signatures(sh, id_col=key_col, n_hashes=self.n_hashes, seed=self.seed)
+        wide = minhash_signatures(
+            sh,
+            id_col=key_col,
+            n_hashes=self.n_hashes,
+            seed=self.seed,
+            portable=self.portable,
+        )
         return wide.select(
             F.col(key_col).alias("key"),
             F.array(*[F.col(f"mh_{i}") for i in range(self.n_hashes)]).alias("sig"),
