@@ -190,12 +190,20 @@ def _with_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return staged.withColumn("_lb", size_bucket_expr(F.size("_ft")))
 
 
+#: below this many state rows the conjunctive blocking's fixed cost
+#: (probe-side ±1-bucket × N_SLOTS explosion, 4-column hash keys)
+#: exceeds what it saves — a single block key recovers the small-
+#: scale constant with recall exactly 1 (superset candidates)
+SMALL_STATE_ROWS = 10_000
+
+
 def resolve_keyless_events(
     events: DataFrame,
     state: DataFrame,
     high: float = HIGH,
     mid: float = MID,
     state_features: DataFrame | None = None,
+    blocking: str = "conjunctive",
 ) -> DataFrame:
     """``events``: normalized change events, possibly with NULL
     conv_id. ``state``: current table rows (conv_id, turn_idx, role,
@@ -205,7 +213,22 @@ def resolve_keyless_events(
     (conv_id, turn_idx, role, _ft, _m0.., _lb) — pass
     ``KeylessFeatureIndex.features()`` so the state is featurized
     once per version instead of once per batch (the only shape that
-    works at 10^10 state rows). When given, ``state`` is ignored."""
+    works at 10^10 state rows). When given, ``state`` is ignored.
+
+    ``blocking``:
+    * ``"conjunctive"`` (default, the 10^10-row shape): candidates
+      must share (turn_idx, ±1 size bucket, any MinHash slot) — the
+      gate queries mirror exactly this path, so it stays the
+      deterministic default.
+    * ``"single"``: block on turn_idx alone — no probe explosion, no
+      slot fan-out; candidate recall is a strict SUPERSET of the
+      conjunctive path (more pairs scored, never fewer), so small
+      states trade a bounded scoring increase for the removed fixed
+      cost.
+    * ``"auto"``: pick ``"single"`` below ``SMALL_STATE_ROWS``
+      candidate rows (one count job — trivial next to the resolve);
+      what the pipeline uses, where the oracle never sees the path.
+    """
     keyed = events.filter(F.col("conv_id").isNotNull())
     keyless = events.filter(F.col("conv_id").isNull())
 
@@ -220,23 +243,6 @@ def resolve_keyless_events(
     # slim probe block rows, exploded to (lb offset × slot): the
     # equi-join hash-keys on ALL FOUR block columns; ±1 lb offsets
     # keep bucket-boundary recall, N_SLOTS rows give any-slot-matches
-    p_slim = p.select(
-        "_p_seq",
-        "turn_idx",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        (F.col("_lb") + d).alias("_lb"),
-                        F.lit(i).alias("_si"),
-                        F.col(f"_m{i}").alias("_sv"),
-                    )
-                    for d in (-1, 0, 1)
-                    for i in range(N_SLOTS)
-                ]
-            )
-        ).alias("_blk"),
-    ).select("_p_seq", "turn_idx", "_blk._lb", "_blk._si", "_blk._sv")
     if state_features is not None:
         c = state_features.select(
             F.col("conv_id").alias("_c_conv"),
@@ -255,26 +261,58 @@ def resolve_keyless_events(
                 F.col("text"),
             )
         )
-    cands = (
-        c.select(
-            "_c_conv",
+    if blocking == "auto":
+        blocking = "single" if c.count() < SMALL_STATE_ROWS else "conjunctive"
+    if blocking == "single":
+        cands = c.select(
+            "_c_conv", "turn_idx", "_c_role", F.col("_ft").alias("_c_ft")
+        ).join(
+            F.broadcast(p.select("_p_seq", "turn_idx")), on="turn_idx", how="inner"
+        )
+    else:
+        # slim probe block rows, exploded to (lb offset × slot): the
+        # equi-join hash-keys on ALL FOUR block columns; ±1 lb
+        # offsets keep bucket-boundary recall, N_SLOTS rows give
+        # any-slot-matches
+        p_slim = p.select(
+            "_p_seq",
             "turn_idx",
-            "_c_role",
-            F.col("_ft").alias("_c_ft"),
-            "_lb",
             F.explode(
                 F.array(
                     *[
-                        F.struct(F.lit(i).alias("_si"), F.col(f"_m{i}").alias("_sv"))
+                        F.struct(
+                            (F.col("_lb") + d).alias("_lb"),
+                            F.lit(i).alias("_si"),
+                            F.col(f"_m{i}").alias("_sv"),
+                        )
+                        for d in (-1, 0, 1)
                         for i in range(N_SLOTS)
                     ]
                 )
             ).alias("_blk"),
+        ).select("_p_seq", "turn_idx", "_blk._lb", "_blk._si", "_blk._sv")
+        cands = (
+            c.select(
+                "_c_conv",
+                "turn_idx",
+                "_c_role",
+                F.col("_ft").alias("_c_ft"),
+                "_lb",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(F.lit(i).alias("_si"), F.col(f"_m{i}").alias("_sv"))
+                            for i in range(N_SLOTS)
+                        ]
+                    )
+                ).alias("_blk"),
+            )
+            .select(
+                "_c_conv", "turn_idx", "_c_role", "_c_ft", "_lb", "_blk._si", "_blk._sv"
+            )
+            .join(F.broadcast(p_slim), on=["turn_idx", "_lb", "_si", "_sv"], how="inner")
+            .dropDuplicates(["_p_seq", "_c_conv", "turn_idx"])
         )
-        .select("_c_conv", "turn_idx", "_c_role", "_c_ft", "_lb", "_blk._si", "_blk._sv")
-        .join(F.broadcast(p_slim), on=["turn_idx", "_lb", "_si", "_sv"], how="inner")
-        .dropDuplicates(["_p_seq", "_c_conv", "turn_idx"])
-    )
     p_feats = p.select("_p_seq", "_p_role", F.col("_ft").alias("_p_ft"))
     scored = (
         cands.join(p_feats, on="_p_seq", how="inner")

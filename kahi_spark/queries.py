@@ -33,10 +33,19 @@ def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
-def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _read(
+    spark: SparkSession, sf_dir: str, name: str, reshard: bool = True
+) -> DataFrame:
     # heavy tables route through the once-per-sf resharded copy (a
     # single-file/single-row-group table caps the scan stage at ONE
-    # task — see sources/testdata.py); oracles read the originals
+    # task — see sources/testdata.py); oracles read the originals.
+    # ``reshard=False``: queries whose map-side work is CHEAP (one
+    # hash/regex per row, no shingle/bigram/pandas stage) read the
+    # original single file — the 32-file listing+scheduling overhead
+    # (~0.05-0.15 s measured at sf0.1) exceeds the parallelism win
+    # there, and at 100 TB such queries are shuffle- not scan-bound.
+    if not reshard:
+        return spark.read.parquet(_t(sf_dir, name))
     from kahi_spark.sources.testdata import read_table
 
     return read_table(spark, sf_dir, name)
@@ -358,7 +367,7 @@ SELECT s_nationkey AS nationkey FROM supplier
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality scoring (length / uniqueness ratios),
     all JVM-side expressions."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", reshard=False)
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     return docs.select(
@@ -407,7 +416,7 @@ def _lang_hits_expr(lang: str):
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: stopword-marker voting (deterministic,
     SQL-expressible so the oracle is exact)."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", reshard=False)
     scored = docs.select(
         "doc_id",
         *[_lang_hits_expr(lg).alias(f"hits_{lg}") for lg in _LANG_MARKERS],
@@ -450,7 +459,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking key; deterministic across engines)."""
     from kahi_spark.functions.text import fingerprint_expr
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", reshard=False)
     return docs.select("doc_id", fingerprint_expr("text").alias("fp"))
 
 
@@ -465,7 +474,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hash-groupBy; one shuffle)."""
     from kahi_spark.functions.text import fingerprint_expr
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", reshard=False)
     return (
         docs.withColumn("fp", fingerprint_expr("text"))
         .groupBy("fp")
@@ -588,7 +597,7 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order functions, no UDF)."""
     from kahi_spark.operators.similarity import knn_bruteforce
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings", reshard=False)
     probes = emb.filter(F.col("vec_id") < 5)
     return knn_bruteforce(probes, emb, k=5)
 
@@ -699,7 +708,7 @@ SELECT probe_id, cand_id, score FROM best WHERE rn = 1
 def q_ids_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F15/F16 scalar family: composite-id split + name decomposition
     on the customer dimension."""
-    cust = _read(spark, sf_dir, "customer")
+    cust = _read(spark, sf_dir, "customer", reshard=False)
     return cust.select(
         "c_custkey",
         F.element_at(F.split(F.col("c_name"), "#"), 2).cast("int").alias("name_id"),

@@ -35,8 +35,14 @@ from kahi_spark.operators.similarity import lsh_planes
 from kahi_spark.sources.events import derive_events_duckdb_sql, derive_transcript_events
 
 
-def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # heavy tables via the resharded copy (see sources/testdata.py)
+def _read(
+    spark: SparkSession, sf_dir: str, name: str, reshard: bool = True
+) -> DataFrame:
+    # heavy tables via the resharded copy (see sources/testdata.py);
+    # reshard=False for cheap-map queries where the 32-file overhead
+    # outweighs the win (measured per query — see queries.py._read)
+    if not reshard:
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
     from kahi_spark.sources.testdata import read_table
 
     return read_table(spark, sf_dir, name)
@@ -573,7 +579,7 @@ def q_scalars_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     F12 country-name → alpha-2 with noisy case/whitespace
     (``Scopus.py:159-213``), F14 ISSN reformat (``KahiDb.py:252``),
     F16 name decomposition (``Scopus.py:396-404``)."""
-    cust = _read(spark, sf_dir, "customer")
+    cust = _read(spark, sf_dir, "customer", reshard=False)
     n = len(_COUNTRY_NAMES)
     name = F.element_at(
         F.array(*[F.lit(x) for x in _COUNTRY_NAMES]),
@@ -1319,7 +1325,7 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULL approximate pipeline, not just the verify step."""
     from kahi_spark.operators.similarity import knn_lsh
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings", reshard=False)
     probes = emb.filter(F.col("vec_id") < 5)
     return knn_lsh(probes, emb, k=5, n_planes=8, n_tables=4, dim=64, seed=42)
 
@@ -1358,7 +1364,7 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-verified (`test_ivf_knn_*`)."""
     from kahi_spark.operators.similarity import ivf_knn
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings", reshard=False)
     probes = emb.filter(F.col("vec_id") < 5)
     return ivf_knn(probes, emb, k=5, n_cells=8, nprobe=8, iters=2)
 
@@ -1392,7 +1398,7 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force ``embedding_neardup`` (exact, quadratic verifier)."""
     from kahi_spark.operators.similarity import lsh_cosine_pairs
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings", reshard=False)
     return lsh_cosine_pairs(emb, threshold=0.4, n_planes=8, n_tables=4, dim=64, seed=42)
 
 
@@ -1698,7 +1704,7 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, BPE-ish: regex pre-tokenization (letter runs /
     digit runs / punctuation marks) vs whitespace tokens — the two
     counts a training-data pipeline tracks per document."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", reshard=False)
     low = F.lower(F.col("text"))
     bpe = F.regexp_extract_all(low, F.lit(_BPE_RE), 0)
     ws = F.split(F.trim(low), r"\s+")
@@ -1723,7 +1729,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality signals: length, punctuation-character ratio,
     stopword-token ratio (the filters a pretraining pipeline gates
     on). Pure JVM expressions; ratios rounded to 6 on both sides."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", reshard=False)
     low = F.lower(F.col("text"))
     n_chars = F.length(low)
     n_punct = n_chars - F.length(F.regexp_replace(low, r"[^a-z0-9\s]", ""))

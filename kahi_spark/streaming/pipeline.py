@@ -212,8 +212,11 @@ class CdcPipeline:
                 if state_features is None and self.table.exists()
                 else self.spark.createDataFrame([], "conv_id string, turn_idx int, role string, text string")
             )
+            # "auto": single-key blocking below SMALL_STATE_ROWS —
+            # the conjunctive machinery's fixed cost only pays once
+            # the state outgrows it (operators/keyless.py)
             normalized = resolve_keyless_events(
-                normalized, state, state_features=state_features
+                normalized, state, state_features=state_features, blocking="auto"
             )
             if self.keyless_index is not None:
                 # the resolved batch must land in the index BEFORE its

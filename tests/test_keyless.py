@@ -60,6 +60,15 @@ def test_resolver_matches_blocks_and_mints(spark):
     assert out[11] == "u11"  # blocked out despite identical text
     assert out[12] == "u12"
     assert out[13] == "c9"
+    # the small-state single-key blocking (pipeline "auto" path below
+    # SMALL_STATE_ROWS) scores a candidate SUPERSET — identical
+    # resolutions on this fixture, no slot/bucket fan-out
+    for mode in ("single", "auto"):
+        out2 = {
+            r.seq: r.conv_id
+            for r in resolve_keyless_events(events, state, blocking=mode).collect()
+        }
+        assert out2 == out, mode
 
 
 def test_pipeline_resolves_keyless_end_to_end(spark, tmp_path):
