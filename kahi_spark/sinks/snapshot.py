@@ -495,17 +495,155 @@ class SnapshotTable:
             self.compact()
         return True
 
-    def compact(self) -> None:
+    def _compact_bucketed(self, m: dict, version: int) -> str:
+        """Incremental fold (see ``compact``): shuffle only the
+        deltas, zip buckets task-locally via Arrow.
+
+        Bucket invariant: every base snapshot and the winners dir are
+        written ``repartition(n_buckets, *key_cols)`` — the same
+        deterministic hash partitioner — and Spark part-file names
+        carry the partition index, so ``part-00007-*`` of the base
+        and of the winners hold the same key space. Local paths here;
+        on a cluster the same fold reads DFS URIs (pyarrow/fsspec) —
+        the Iceberg equivalent is a bucket-partition-spec rewrite."""
+        # 1. LWW-reduce across deltas (each delta is already one row
+        #    per key) — the ONLY shuffle in the fold, O(deltas)
+        parts = [
+            self.spark.read.parquet(os.path.join(self.path, d)) for d in m["deltas"]
+        ]
+        deltas = parts[0]
+        for p in parts[1:]:
+            deltas = deltas.unionByName(p, allowMissingColumns=True)
+        winners = self._resolve(deltas)
+        win_dir = os.path.join(self.path, f"_compact_winners_{version:08d}")
+        (
+            winners.repartition(self.n_buckets, *[F.col(k) for k in self.key_cols])
+            .write.mode("overwrite")
+            .parquet(win_dir)
+        )
+        base_dir = (
+            os.path.join(self.path, m["snapshot"]) if m["snapshot"] is not None else None
+        )
+        # target schema: base ∪ winners (winners may ADD COLUMNs)
+        target = (
+            winners
+            if base_dir is None
+            else self.spark.read.parquet(base_dir).unionByName(
+                winners, allowMissingColumns=True
+            )
+        )
+        target_schema = target.schema
+        tgt_cols = [f.name for f in target_schema.fields]
+        key_cols, sys_seq = self.key_cols, SYS_SEQ
+
+        def files_for(d: str | None) -> dict[int, list[str]]:
+            out: dict[int, list[str]] = {}
+            if d is None or not os.path.isdir(d):
+                return out
+            for f in os.listdir(d):
+                if f.startswith("part-"):
+                    out.setdefault(int(f.split("-")[1]), []).append(os.path.join(d, f))
+            return out
+
+        base_files, win_files = files_for(base_dir), files_for(win_dir)
+
+        def fold(batches):
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            for pdf in batches:
+                for b in pdf["id"]:
+                    paths = base_files.get(int(b), []) + win_files.get(int(b), [])
+                    if not paths:
+                        continue
+                    frames = [pq.read_table(p).to_pandas() for p in paths]
+                    df = pd.concat(frames, ignore_index=True, sort=False)
+                    # normalize tz-aware reads to naive UTC (session tz
+                    # is UTC; Spark's arrow path expects naive)
+                    for c in df.columns:
+                        if isinstance(df[c].dtype, pd.DatetimeTZDtype):
+                            df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
+                    # the same LWW order as _resolve: (coalesce(ts,
+                    # epoch-0) desc, _seq desc), first row per key
+                    ts_key = (
+                        df["ts"].fillna(pd.Timestamp("1970-01-01"))
+                        if "ts" in df.columns
+                        else pd.Series(0, index=df.index)
+                    )
+                    df = (
+                        df.assign(_ts_key=ts_key)
+                        .sort_values(by=["_ts_key", sys_seq], ascending=False, kind="mergesort")
+                        .drop_duplicates(subset=key_cols, keep="first")
+                        .drop(columns=["_ts_key"])
+                    )
+                    for name in tgt_cols:  # evolution: old buckets read NULL
+                        if name not in df.columns:
+                            df[name] = pd.Series([None] * len(df), dtype="object")
+                    yield df[tgt_cols]
+
+        snap = f"v{version:08d}"
+        out = os.path.join(self.path, snap)
+        # one task per bucket (range splits contiguously: partition i
+        # holds exactly id i), output part index = bucket index
+        tasks = self.spark.range(0, self.n_buckets, 1, numPartitions=self.n_buckets)
+        tasks.mapInPandas(fold, schema=target_schema).write.mode("overwrite").parquet(out)
+        shutil.rmtree(win_dir, ignore_errors=True)
+        return snap
+
+    def compact(self, strategy: str = "auto") -> None:
         """Fold base + deltas into a fresh base snapshot (Iceberg
         rewrite_data_files analogue). Readers keep snapshot isolation:
-        the manifest swap is atomic, old dirs are GC'd afterwards."""
+        the manifest swap is atomic, old dirs are GC'd afterwards.
+
+        ``strategy="bucketed"``: INCREMENTAL fold. The base
+        is never reshuffled — only the (small) deltas are LWW-reduced
+        and re-bucketed with the base's own partitioner; the fold then
+        zips base bucket i with delta-winner bucket i task-locally
+        (Arrow read → pandas LWW → Arrow out) and writes bucket i
+        back under the same index. Shuffle cost O(deltas), not
+        O(table): at 10^10 base rows folding a 10^6-row delta, the
+        global window re-sorts the whole table per fold while this
+        path moves only the delta. This is the storage-partitioned
+        compaction a real deployment gets from an Iceberg bucket
+        partition spec; here the bucket invariant is enforced by
+        construction (every base is written
+        ``repartition(n_buckets, keys)``, winners likewise, and
+        part-file INDEX identifies the bucket — asserted by the
+        global-vs-bucketed parity test).
+
+        ``strategy="global"``: the original whole-table window fold.
+
+        ``strategy="auto"`` (default): bucketed only when the base
+        dwarfs the deltas (> 4× by on-disk bytes — metadata-only
+        check). When base ≈ deltas (early life of a table, or the
+        very first fold where no base exists) the global window is
+        cheaper: the bucketed fold's Arrow/Python per-bucket hop has
+        a fixed cost the incremental shuffle saving can't cover
+        until the base is large. At 10^10 base rows folding 10^6-row
+        deltas — the steady state this sink targets — auto always
+        picks bucketed.
+        """
         m = self._read_manifest()
         if not m["deltas"]:
             return
         t0 = time.time()
-        resolved = self.read_internal()
         version = m["version"] + 1
-        snap = self._write_snapshot(resolved, version)
+        if strategy == "auto":
+            def _dir_bytes(sub: str) -> int:
+                d = os.path.join(self.path, sub)
+                if not os.path.isdir(d):
+                    return 0
+                return sum(
+                    e.stat().st_size for e in os.scandir(d) if e.is_file()
+                )
+
+            base_b = _dir_bytes(m["snapshot"]) if m["snapshot"] is not None else 0
+            delta_b = sum(_dir_bytes(d) for d in m["deltas"])
+            strategy = "bucketed" if base_b > 4 * delta_b else "global"
+        if strategy == "bucketed":
+            snap = self._compact_bucketed(m, version)
+        else:
+            snap = self._write_snapshot(self.read_internal(), version)
         old = list(m["deltas"])
         m["version"] = version
         m["snapshot"] = snap
@@ -515,6 +653,7 @@ class SnapshotTable:
                 "version": version,
                 "epoch_id": None,
                 "op": "compact",
+                "strategy": strategy,
                 "wall_s": round(time.time() - t0, 3),
                 "folded": len(old),
             }
