@@ -83,9 +83,13 @@ def _file_stats(directory: str, ts_col: str = "ts") -> list[dict]:
     import pyarrow.parquet as pq
 
     out = []
-    for name in sorted(os.listdir(directory)):
-        if not name.endswith(".parquet"):
-            continue
+    names = []
+    for root, _dirs, files in os.walk(directory):  # bucket-dir layout nests
+        rel = os.path.relpath(root, directory)
+        for f in files:
+            if f.endswith(".parquet"):
+                names.append(f if rel == "." else os.path.join(rel, f))
+    for name in sorted(names):
         md = pq.ParquetFile(os.path.join(directory, name)).metadata
         ts_idx = next(
             (i for i in range(md.num_columns) if md.schema.column(i).name == ts_col),
@@ -222,6 +226,8 @@ class SnapshotTable:
                     f"version {version} expired or never was a base snapshot"
                 )
             df = self.spark.read.parquet(os.path.join(self.path, snap))
+            if "_bucket" in df.columns:
+                df = df.drop("_bucket")
         else:
             df = self.read_internal()
         return df.filter(~F.col(SYS_DELETED)).drop(SYS_SEQ, SYS_DELETED)
@@ -237,7 +243,10 @@ class SnapshotTable:
             raise FileNotFoundError(f"table {self.path} has no committed snapshot")
         parts = []
         if m["snapshot"] is not None:
-            parts.append(self.spark.read.parquet(os.path.join(self.path, m["snapshot"])))
+            base = self.spark.read.parquet(os.path.join(self.path, m["snapshot"]))
+            if "_bucket" in base.columns:  # bucket-dir layout partition col
+                base = base.drop("_bucket")
+            parts.append(base)
         for d in m["deltas"]:
             parts.append(self.spark.read.parquet(os.path.join(self.path, d)))
         df = parts[0]
@@ -290,12 +299,27 @@ class SnapshotTable:
         return [out[v] for v in sorted(out)]
 
     # --- writes -----------------------------------------------------------
+    def _bucket_expr(self):
+        """The table's bucket transform: ``pmod(hash(keys), n)`` —
+        the same function Spark's hash partitioner applies, computed
+        EXPLICITLY so the bucket a row belongs to is carried in the
+        partition DIRECTORY name (``_bucket=k/``), never inferred
+        from part-file indices. Part-file indices are unreliable:
+        Catalyst elides a ``repartition(n, keys)`` whose child is
+        already hash-partitioned on the keys (e.g. after the LWW
+        window), and AQE then freely coalesces that shuffle — a
+        small write can land every row in ``part-00000`` (observed:
+        20k winners → ONE file)."""
+        return F.pmod(F.hash(*[F.col(k) for k in self.key_cols]), F.lit(self.n_buckets))
+
     def _write_snapshot(self, df: DataFrame, version: int) -> str:
         snap = f"v{version:08d}"
         out = os.path.join(self.path, snap)
         (
-            df.repartition(self.n_buckets, *[F.col(k) for k in self.key_cols])
+            df.withColumn("_bucket", self._bucket_expr())
+            .repartition(self.n_buckets, *[F.col(k) for k in self.key_cols])
             .write.mode("overwrite")
+            .partitionBy("_bucket")
             .parquet(out)
         )
         return snap
@@ -499,13 +523,14 @@ class SnapshotTable:
         """Incremental fold (see ``compact``): shuffle only the
         deltas, zip buckets task-locally via Arrow.
 
-        Bucket invariant: every base snapshot and the winners dir are
-        written ``repartition(n_buckets, *key_cols)`` — the same
-        deterministic hash partitioner — and Spark part-file names
-        carry the partition index, so ``part-00007-*`` of the base
-        and of the winners hold the same key space. Local paths here;
-        on a cluster the same fold reads DFS URIs (pyarrow/fsspec) —
-        the Iceberg equivalent is a bucket-partition-spec rewrite."""
+        Bucket identity lives in the partition DIRECTORY name
+        (``_bucket=k/``, an explicit ``pmod(hash(keys), n)`` column —
+        see ``_bucket_expr`` for why part-file indices cannot be
+        trusted): base bucket k and winner bucket k hold the same key
+        space BY CONSTRUCTION, whatever AQE or exchange elision did
+        to task counts. Local paths here; on a cluster the same fold
+        reads DFS URIs (pyarrow/fsspec) — the Iceberg equivalent is a
+        bucket-partition-spec rewrite_data_files."""
         # 1. LWW-reduce across deltas (each delta is already one row
         #    per key) — the ONLY shuffle in the fold, O(deltas)
         parts = [
@@ -517,32 +542,36 @@ class SnapshotTable:
         winners = self._resolve(deltas)
         win_dir = os.path.join(self.path, f"_compact_winners_{version:08d}")
         (
-            winners.repartition(self.n_buckets, *[F.col(k) for k in self.key_cols])
+            winners.withColumn("_bucket", self._bucket_expr())
             .write.mode("overwrite")
+            .partitionBy("_bucket")
             .parquet(win_dir)
         )
         base_dir = (
             os.path.join(self.path, m["snapshot"]) if m["snapshot"] is not None else None
         )
         # target schema: base ∪ winners (winners may ADD COLUMNs)
-        target = (
-            winners
-            if base_dir is None
-            else self.spark.read.parquet(base_dir).unionByName(
-                winners, allowMissingColumns=True
-            )
-        )
+        target = winners
+        if base_dir is not None:
+            base = self.spark.read.parquet(base_dir)
+            if "_bucket" in base.columns:
+                base = base.drop("_bucket")
+            target = base.unionByName(winners, allowMissingColumns=True)
         target_schema = target.schema
         tgt_cols = [f.name for f in target_schema.fields]
         key_cols, sys_seq = self.key_cols, SYS_SEQ
 
         def files_for(d: str | None) -> dict[int, list[str]]:
+            """bucket id → parquet paths, from the _bucket=k dirs."""
             out: dict[int, list[str]] = {}
             if d is None or not os.path.isdir(d):
                 return out
-            for f in os.listdir(d):
-                if f.startswith("part-"):
-                    out.setdefault(int(f.split("-")[1]), []).append(os.path.join(d, f))
+            for e in os.scandir(d):
+                if e.is_dir() and e.name.startswith("_bucket="):
+                    b = int(e.name.split("=")[1])
+                    out[b] = [
+                        f.path for f in os.scandir(e.path) if f.name.endswith(".parquet")
+                    ]
             return out
 
         base_files, win_files = files_for(base_dir), files_for(win_dir)
@@ -579,14 +608,23 @@ class SnapshotTable:
                     for name in tgt_cols:  # evolution: old buckets read NULL
                         if name not in df.columns:
                             df[name] = pd.Series([None] * len(df), dtype="object")
-                    yield df[tgt_cols]
+                    df["_bucket"] = int(b)
+                    yield df[tgt_cols + ["_bucket"]]
 
         snap = f"v{version:08d}"
         out = os.path.join(self.path, snap)
+        out_schema = T.StructType(
+            list(target_schema.fields) + [T.StructField("_bucket", T.IntegerType(), False)]
+        )
         # one task per bucket (range splits contiguously: partition i
-        # holds exactly id i), output part index = bucket index
+        # holds exactly id i); output partitioned by the bucket DIR
         tasks = self.spark.range(0, self.n_buckets, 1, numPartitions=self.n_buckets)
-        tasks.mapInPandas(fold, schema=target_schema).write.mode("overwrite").parquet(out)
+        (
+            tasks.mapInPandas(fold, schema=out_schema)
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(out)
+        )
         shutil.rmtree(win_dir, ignore_errors=True)
         return snap
 
@@ -631,15 +669,24 @@ class SnapshotTable:
         if strategy == "auto":
             def _dir_bytes(sub: str) -> int:
                 d = os.path.join(self.path, sub)
-                if not os.path.isdir(d):
-                    return 0
-                return sum(
-                    e.stat().st_size for e in os.scandir(d) if e.is_file()
-                )
+                total = 0
+                for root, _dirs, files in os.walk(d):  # bucket dirs nest
+                    total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+                return total
 
             base_b = _dir_bytes(m["snapshot"]) if m["snapshot"] is not None else 0
             delta_b = sum(_dir_bytes(d) for d in m["deltas"])
             strategy = "bucketed" if base_b > 4 * delta_b else "global"
+        if strategy == "bucketed" and m["snapshot"] is not None:
+            # a legacy flat base (pre-bucket-dir layout) carries no
+            # trustworthy bucket identity — fold it globally once;
+            # the rewrite emits bucket dirs and later folds go
+            # incremental
+            if not any(
+                e.is_dir() and e.name.startswith("_bucket=")
+                for e in os.scandir(os.path.join(self.path, m["snapshot"]))
+            ):
+                strategy = "global"
         if strategy == "bucketed":
             snap = self._compact_bucketed(m, version)
         else:

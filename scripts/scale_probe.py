@@ -231,6 +231,76 @@ def main():
         return {"probes": probes.count(), "correct": correct}
 
     phase("keyless_resolve_indexed_state", keyless_indexed_phase)
+
+    # -- incremental dedup index: per-batch cost at steady state -----------
+    # one-time 100k-doc index build outside the timed phase (the
+    # amortized ingest-time cost); timed = checking a NEW 5k batch
+    # (half fresh, half perturbed copies of indexed docs) against
+    # everything already ingested — the corpus is never re-shingled
+    from kahi_spark.sinks.dedup_index import LshDedupIndex
+
+    _didx = LshDedupIndex(spark, f"{tmp}/dedup_index", threshold=0.8)
+    if not os.path.isdir(f"{tmp}/dedup_index/sigs"):
+        t0 = time.time()
+        corpus = docs.select(F.col("doc_id").cast("string").alias("k"), "text")
+        _didx.add(_didx._signatures(corpus, "k", "text"), epoch_id=0)
+        out["dedup_index_build_s"] = round(time.time() - t0, 1)
+
+    def incremental_dedup_phase():
+        # genuinely novel: reversed word order shares ~zero word-3gram
+        # shingles with the original (a prefixed copy would still be
+        # ~95% shingle-identical and correctly flag as a near-dup)
+        fresh = docs.filter(F.col("doc_id") % 40 == 7).select(
+            (F.col("doc_id") + 2_000_000).cast("string").alias("k"),
+            F.array_join(F.reverse(F.split("text", " ")), " ").alias("text"),
+        )
+        copies = docs.filter(F.col("doc_id") % 40 == 21).select(
+            (F.col("doc_id") + 3_000_000).cast("string").alias("k"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+        batch = fresh.unionByName(copies)
+        dups = _didx.find_neardups(_didx._signatures(batch, "k", "text"))
+        return {"batch": batch.count(), "dups": dups.count()}
+
+    phase("incremental_dedup_5k_batch_vs_100k_index", incremental_dedup_phase)
+
+    # -- bucketed vs global MOR compaction at a big-base/small-delta shape --
+    # 2M-row base, one 20k-row delta: the steady-state fold this sink
+    # targets (at 10^10 rows the global fold's whole-table shuffle is
+    # the bottleneck; the bucketed fold shuffles only the delta).
+    def compaction_phase():
+        import shutil as _sh
+
+        from kahi_spark.sinks.snapshot import SnapshotTable
+
+        res = {}
+        base = spark.range(0, 2_000_000).select(
+            F.concat(F.lit("c"), F.col("id").cast("string")).alias("conv_id"),
+            F.pmod("id", F.lit(10)).cast("int").alias("turn_idx"),
+            F.concat(F.lit("text body "), F.col("id").cast("string")).alias("text"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") % 86400).alias("ts"),
+        )
+        delta = spark.range(0, 20_000).select(
+            (F.col("id") + 5_000_000).alias("seq"),
+            F.lit("update").alias("op"),
+            F.concat(F.lit("c"), (F.col("id") * 97).cast("string")).alias("conv_id"),
+            F.pmod(F.col("id") * 97, F.lit(10)).cast("int").alias("turn_idx"),
+            F.lit("updated text").alias("text"),
+            F.timestamp_seconds(F.lit(1_800_000_000)).alias("ts"),
+        )
+        for strat in ("global", "bucketed"):
+            path = f"{tmp}/compact_{strat}"
+            _sh.rmtree(path, ignore_errors=True)
+            t = SnapshotTable(spark, path, n_buckets=int(cpus), mode="mor", compact_every=100)
+            t.init(base)
+            t.merge(delta, epoch_id=0)
+            t0 = time.time()
+            t.compact(strategy=strat)
+            res[f"{strat}_fold_s"] = round(time.time() - t0, 1)
+            res[f"{strat}_rows"] = t.read().count()
+        return res
+
+    phase("mor_compaction_2M_base_20k_delta", compaction_phase)
     print(json.dumps(out))
 
 
