@@ -1,0 +1,75 @@
+"""One-off pipeline soak: 24M events / 8 epochs through CdcPipeline
+into the MOR table (16 files per trigger, compact_every=4 → two
+mid-run compaction folds). Reports per-epoch and end-to-end ev/s —
+the amortized steady-state the 4M bench phase can't show.
+
+Usage: python scripts/soak_pipeline.py [n_events] [n_epochs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 24_000_000
+    n_epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    files_per_epoch = 16
+
+    import bench
+    from kahi_spark.sinks.snapshot import SnapshotTable
+    from kahi_spark.streaming.pipeline import CdcPipeline
+
+    cpus = bench.CPUS
+    event_dir = bench.cached_events(n_events, n_epochs * files_per_epoch, "soak")
+    warm_dir = bench.cached_events(40_000, 4, "pipewarm")
+    tmp = "/tmp/kahi_soak"
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark = bench.fresh_session(f"local[{cpus}]", cpus)
+
+    warm_table = SnapshotTable(
+        spark, os.path.join(tmp, "warm"), n_buckets=cpus, mode="mor", compact_every=2
+    )
+    CdcPipeline(
+        spark, warm_dir, warm_table, os.path.join(tmp, "warm-ckpt"),
+        max_files_per_trigger=2,
+    ).run_until_idle(timeout_s=120)
+    warm_table.read().count()
+
+    table = SnapshotTable(
+        spark, os.path.join(tmp, "t"), n_buckets=cpus, mode="mor", compact_every=4
+    )
+    pipe = CdcPipeline(
+        spark, event_dir, table, os.path.join(tmp, "ckpt"),
+        max_files_per_trigger=files_per_epoch,
+    )
+    t0 = time.time()
+    pipe.run_until_idle(timeout_s=900)
+    wall = time.time() - t0
+    out = {
+        "events": n_events,
+        "epochs": n_epochs,
+        "wall_s": round(wall, 1),
+        "events_per_sec": round(n_events / wall, 1),
+        "final_rows": table.read().count(),
+        "per_epoch": [
+            {"epoch": m["epoch_id"], "wall_s": m["wall_s"], "ev_s": m["events_per_sec"]}
+            for m in pipe.metrics
+        ],
+        "compactions": [
+            {"strategy": c.get("strategy"), "wall_s": c.get("wall_s")}
+            for c in table.history()
+            if c["op"] == "compact"
+        ],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
