@@ -173,8 +173,13 @@ class LshDedupIndex:
         est_jaccard)."""
         new_bands = self._bands(new_sigs)
         old_bands = self.existing_bands()
-        # candidates vs the index, and vs lower-keyed batch peers
-        cand_old = new_bands.alias("n").join(
+        # candidates vs the index, and vs lower-keyed batch peers.
+        # The BATCH side broadcasts: the index side is the 10^10-row
+        # one, and Spark can't see that the aggregated batch bands are
+        # small — without the hint it shuffles the whole index per
+        # epoch; with it the index is probed in place (scan + hash
+        # lookup, no index-side exchange)
+        cand_old = F.broadcast(new_bands.alias("n")).join(
             old_bands.alias("o"),
             (F.col("n.band_idx") == F.col("o.band_idx"))
             & (F.col("n.band_sig") == F.col("o.band_sig"))
