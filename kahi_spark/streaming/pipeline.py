@@ -282,3 +282,32 @@ class CdcPipeline:
         if q.isActive:
             q.stop()
         return self.metrics
+
+    def run_continuous(
+        self, interval: str = "10 seconds", timeout_s: float | None = None
+    ) -> list[dict]:
+        """The production tail: same query, processing-time trigger —
+        stays up and applies new binlog files as they land. With
+        ``timeout_s`` the call returns (and stops the query) after
+        that long — otherwise it blocks until externally stopped.
+        Exactly-once and resume semantics are identical to
+        ``run_until_idle`` (same checkpoint, same epoch ledger)."""
+        stream = stream_event_log(
+            self.spark,
+            self.event_dir,
+            schema=self.schema,
+            max_files_per_trigger=self.max_files_per_trigger,
+        )
+        q = (
+            stream.writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime=interval)
+            .start()
+        )
+        if timeout_s is None:
+            q.awaitTermination()
+        else:
+            q.awaitTermination(timeout_s)
+            if q.isActive:
+                q.stop()
+        return self.metrics
