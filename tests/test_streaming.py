@@ -115,3 +115,23 @@ def test_schema_evolution_mid_stream(spark, tmp_path):
     assert "meta" in out.columns
     metas = out.filter(F.col("meta").isNotNull()).count()
     assert metas > 0  # evolved rows carry values, earlier rows NULL
+
+
+def test_run_continuous_applies_and_stops(spark, tmp_path):
+    """The production tail (processing-time trigger): applies what's
+    in the log, honors the timeout, and a follow-up availableNow run
+    on the same checkpoint re-applies nothing."""
+    from kahi_spark.gen import write_event_batches
+    from kahi_spark.sinks.snapshot import SnapshotTable
+    from kahi_spark.streaming.pipeline import CdcPipeline
+
+    binlog = str(tmp_path / "binlog")
+    write_event_batches(binlog, n_events=900, n_batches=3, seed=41)
+    table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=2, mode="mor")
+    pipe = CdcPipeline(spark, binlog, table, str(tmp_path / "ckpt"))
+    metrics = pipe.run_continuous(interval="1 seconds", timeout_s=20)
+    assert sum(m["events"] for m in metrics) == 900
+    assert table.read().count() > 0
+    # same checkpoint, drain mode: nothing new
+    pipe2 = CdcPipeline(spark, binlog, table, str(tmp_path / "ckpt"))
+    assert pipe2.run_until_idle(timeout_s=60) == []
