@@ -124,7 +124,15 @@ class KeylessFeatureIndex:
 
     def compact(self) -> None:
         """Fold all epoch dirs into one resolved base (bounded file
-        count; same fold the MOR sink's compaction does)."""
+        count; same fold the MOR sink's compaction does).
+
+        Scale note: this is the GLOBAL fold (one window over the full
+        index). At 10^10 keys the right shape is the snapshot sink's
+        bucket-zipped incremental fold (`SnapshotTable._compact_bucketed`
+        — shuffle only the new epochs, zip bucket dirs task-locally);
+        the index is itself a keyed table, so the planned refactor is
+        to back it with a SnapshotTable rather than duplicate that
+        machinery here."""
         dirs = self._epoch_dirs()
         if len(dirs) <= 1:
             return
