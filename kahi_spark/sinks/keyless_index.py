@@ -5,31 +5,34 @@ side (the pattern ``operators/keyless.py`` names for 10^10 rows).
 shingles/bigrams, one md5 per feature, MinHash slots, size bucket —
 which at 100k rows is already ~half the resolve wall, and at 10^10
 rows per batch would be absurd: state text must be featurized ONCE
-per version, not once per micro-batch. This index keeps an
-epoch-keyed parquet table of exactly the resolver's candidate
-columns:
+per version, not once per micro-batch.
 
-    (conv_id, turn_idx, role, _ft, _m0.., _lb, ts, _seq, _deleted)
+The index IS a keyed table — (conv_id, turn_idx) → the resolver's
+candidate columns
 
-* ``update(batch, epoch)`` LWW-reduces the normalized batch and
-  featurizes ≤1 row per touched key — O(batch), the same cost shape
-  as the MOR delta write. Epoch-keyed subdirectories make replays
-  idempotent (byte-identical overwrite of the epoch's own dir, the
-  ``LshDedupIndex.add`` swap discipline).
-* ``features()`` resolves latest-per-key across epochs (the same
-  (ts, seq) order the snapshot sink uses) and drops tombstones —
-  exactly ``keyless._with_features`` of the live table state, built
-  incrementally.
-* ``compact()`` folds the epoch dirs into one base (call it on the
-  sink's compaction cadence); reads stay correct without it, just
-  over more files.
+    (role, _ft, _m0.., _lb, ts)
 
-Crash model: merge commit and index update are separate writes. The
-pipeline calls ``update`` AFTER the merge and ALSO on ledger-skipped
-replays (update is idempotent), so a crash between the two heals on
-re-delivery.
+so since round 4 it is BACKED BY ``SnapshotTable`` in MOR mode
+instead of bespoke epoch-dir storage. That buys, for free and under
+the same test battery as the main table:
 
-On a real cluster the index is an Iceberg table bucketed on
+* **exactly-once updates** — the epoch ledger no-ops a re-delivered
+  epoch id (the old implementation relied on byte-identical dir
+  swaps);
+* **O(batch) writes** — each update lands as a MOR delta; reads
+  resolve latest-per-key;
+* **bucket-zipped incremental compaction** — the
+  ``_compact_bucketed`` fold, so maintaining the index at 10^10 keys
+  never reshuffles the whole index;
+* **lineage + per-file watermarks** in the manifest.
+
+Crash model: main-table merge commit and index update are separate
+commits with separate ledgers. The pipeline calls ``update`` AFTER
+the merge and ALSO on ledger-skipped replays, so a crash between the
+two heals on re-delivery (the index's own ledger then skips the
+second application).
+
+On a real cluster both tables are Iceberg tables bucketed on
 ``conv_id`` — the same layout as the transcript table, so the
 feature lookup after blocking is a storage-partitioned join.
 
@@ -41,66 +44,46 @@ maintained feature table.
 
 from __future__ import annotations
 
-import os
-import shutil
-import uuid
-
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kahi_spark.operators.keyless import N_SLOTS, _with_features
 
 _KEYS = ["conv_id", "turn_idx"]
 _FEATURE_COLS = ["role", "_ft", *[f"_m{i}" for i in range(N_SLOTS)], "_lb"]
-_SCHEMA = (
-    "conv_id string, turn_idx int, role string, _ft array<bigint>, "
-    + ", ".join(f"_m{i} long" for i in range(N_SLOTS))
-    + ", _lb int, ts timestamp, _seq long, _deleted boolean"
-)
 
 
 class KeylessFeatureIndex:
-    def __init__(self, spark: SparkSession, path: str, compact_every: int = 8) -> None:
-        """``compact_every``: fold the epoch dirs into one base once
-        more than this many accumulate — bounds the read-side
-        latest-per-key window's input (same cadence contract as the
-        MOR sink's ``compact_every``)."""
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        compact_every: int = 8,
+        n_buckets: int = 16,
+    ) -> None:
+        """``compact_every``: fold the MOR deltas into a base once
+        this many accumulate — bounds the read-side latest-per-key
+        window's input (the backing table's own cadence contract)."""
+        from kahi_spark.sinks.snapshot import SnapshotTable
+
         self.spark = spark
         self.path = path
-        self.compact_every = compact_every
-
-    # -- storage ------------------------------------------------------------
-
-    def _epoch_dirs(self) -> list[str]:
-        if not os.path.isdir(self.path):
-            return []
-        return sorted(
-            e.path for e in os.scandir(self.path)
-            if e.is_dir() and (e.name.startswith("epoch_") or e.name.startswith("base_"))
+        self.table = SnapshotTable(
+            spark,
+            path,
+            key_cols=list(_KEYS),
+            n_buckets=n_buckets,
+            mode="mor",
+            compact_every=compact_every,
         )
-
-    def _read_all(self) -> DataFrame:
-        dirs = self._epoch_dirs()
-        if not dirs:
-            return self.spark.createDataFrame([], _SCHEMA)
-        return self.spark.read.schema(_SCHEMA).parquet(*dirs)  # type: ignore[arg-type]
-
-    def _swap_in(self, df: DataFrame, name: str) -> None:
-        """Write to a temp dir, then atomically replace ``name`` —
-        a re-delivered epoch's plan may lazily read the previous
-        delivery's files, so the write completes before the swap."""
-        final = os.path.join(self.path, name)
-        tmp = f"{final}.tmp-{uuid.uuid4().hex}"
-        df.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(final, ignore_errors=True)
-        os.rename(tmp, final)
 
     # -- maintenance --------------------------------------------------------
 
-    def update(self, normalized_batch: DataFrame, epoch_id: int) -> None:
-        """Featurize the batch's final change per key and persist it
-        under this epoch (idempotent). Deletes are kept as tombstone
-        rows so ``features()`` can drop the key.
+    def update(self, normalized_batch: DataFrame, epoch_id: int) -> bool:
+        """Featurize the batch's final change per key and MERGE it
+        under this epoch id. Exactly-once: a re-delivered epoch is a
+        ledger no-op (returns False). Deletes flow through as
+        tombstones so ``features()`` drops the key.
 
         ASSUMES plain LWW table semantics: the features are computed
         from the batch's LWW-winning text, so a sink configured with
@@ -112,50 +95,32 @@ class KeylessFeatureIndex:
 
         reduced = latest_change_per_key(normalized_batch)
         feats = _with_features(
-            reduced.select(
-                "conv_id", "turn_idx", "role", "text", "ts",
-                F.col("seq").alias("_seq"),
-                (F.col("op") == "delete").alias("_deleted"),
-            )
-        ).select(*_KEYS, *_FEATURE_COLS, "ts", "_seq", "_deleted")
-        self._swap_in(feats, f"epoch_{epoch_id}")
-        if len(self._epoch_dirs()) > self.compact_every:
-            self.compact()
+            reduced.select("conv_id", "turn_idx", "op", "seq", "role", "text", "ts")
+        ).select("conv_id", "turn_idx", "op", "seq", "ts", *_FEATURE_COLS)
+        return self.table.merge(feats, epoch_id=epoch_id, pre_reduced=True)
 
     def compact(self) -> None:
-        """Fold all epoch dirs into one resolved base (bounded file
-        count; same fold the MOR sink's compaction does).
+        """Fold the deltas into a base (the backing table's
+        compaction — `auto` picks the bucket-zipped incremental fold
+        once the base dwarfs the deltas, the 10^10-key steady
+        state)."""
+        self.table.compact()
 
-        Scale note: this is the GLOBAL fold (one window over the full
-        index). At 10^10 keys the right shape is the snapshot sink's
-        bucket-zipped incremental fold (`SnapshotTable._compact_bucketed`
-        — shuffle only the new epochs, zip bucket dirs task-locally);
-        the index is itself a keyed table, so the planned refactor is
-        to back it with a SnapshotTable rather than duplicate that
-        machinery here."""
-        dirs = self._epoch_dirs()
-        if len(dirs) <= 1:
-            return
-        resolved = self._resolve(self._read_all()).localCheckpoint(eager=True)
-        self._swap_in(resolved, f"base_{uuid.uuid4().hex[:8]}")
-        for d in dirs:
-            shutil.rmtree(d, ignore_errors=True)
+    def exists(self) -> bool:
+        return self.table.exists()
 
     # -- reads --------------------------------------------------------------
 
-    def _resolve(self, df: DataFrame) -> DataFrame:
-        order = [
-            F.coalesce(F.col("ts"), F.to_timestamp(F.lit("1970-01-01"))).desc(),
-            F.col("_seq").desc(),
-        ]
-        w = Window.partitionBy(*_KEYS).orderBy(*order)
-        return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
-
     def features(self) -> DataFrame:
         """Live-state candidate features — the drop-in
-        ``state_features`` frame for ``resolve_keyless_events``."""
-        return (
-            self._resolve(self._read_all())
-            .filter(~F.col("_deleted"))
-            .select(*_KEYS, *_FEATURE_COLS)
-        )
+        ``state_features`` frame for ``resolve_keyless_events``.
+        Empty (correct schema) before the first committed update —
+        the pipeline reads it on epoch 0, before anything landed."""
+        if not self.table.exists():
+            schema = (
+                "conv_id string, turn_idx int, role string, _ft array<bigint>, "
+                + ", ".join(f"_m{i} long" for i in range(N_SLOTS))
+                + ", _lb int"
+            )
+            return self.spark.createDataFrame([], schema)
+        return self.table.read().select(*_KEYS, *_FEATURE_COLS)

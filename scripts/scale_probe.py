@@ -185,7 +185,7 @@ def main():
     from kahi_spark.sinks.keyless_index import KeylessFeatureIndex
 
     _kidx = KeylessFeatureIndex(spark, f"{tmp}/keyless_index")
-    if not _kidx._epoch_dirs():
+    if not _kidx.exists():
         t0 = time.time()
         _kidx.update(
             docs.select(

@@ -64,10 +64,10 @@ def test_index_features_match_direct_featurization(spark, tmp_path):
     idx.update(b1, epoch_id=1)
     assert idx.features().count() == 2
 
-    # compaction folds epochs without changing the resolved view
+    # compaction folds the deltas without changing the resolved view
     before = sorted(map(tuple, idx.features().collect()))
     idx.compact()
-    assert len(idx._epoch_dirs()) == 1
+    assert idx.table._read_manifest()["deltas"] == []
     assert sorted(map(tuple, idx.features().collect())) == before
 
 
