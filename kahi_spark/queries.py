@@ -956,6 +956,10 @@ _DEMOTED = [
     "sessionize_events",
     "intersect_custkeys",
     "distinct_users",
+    # quality_score: text-analysis family stays gated via token_bpe /
+    # lang_id / text_stats / doc_fingerprint (demoted to make window
+    # room for cdc_bucketed_compaction)
+    "quality_score",
 ]
 
 #: entries that MUST hold early positions: the round-3 sink/decode/
@@ -968,6 +972,7 @@ _FRONT = [
     "cdc_multisource_merge",
     "cdc_resume_replay",
     "cdc_schema_evolution",
+    "cdc_bucketed_compaction",
     "incremental_dedup",
     "keyless_incremental",
     "multimodal_decode",

@@ -138,12 +138,47 @@ FROM latest WHERE rn = 1 AND op <> 'delete'
 )
 
 
+def q_cdc_bucketed_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 scale-path compaction under the value hash: MOR
+    merges fold through the BUCKETED (bucket-dir zipped, Arrow
+    task-local) compaction — forced, since ``auto`` picks global at
+    gate scale. Two folds: the first builds the base from winners
+    alone; the second zips that base's ``_bucket=k`` dirs with an
+    EVOLVED delta (epoch 2 carries ``sentiment``), so ADD COLUMN,
+    tombstones and the LWW order all flow through the pandas fold.
+    Oracle = the same closed-form whole-log LWW + evolution SQL as
+    the COW variant — the fold strategy must be invisible in the
+    result."""
+    from kahi_spark.sinks.snapshot import SnapshotTable
+
+    e = _epochs(spark, sf_dir)
+    table = SnapshotTable(
+        spark,
+        tempfile.mkdtemp(prefix="kahi_gate_bktfold_"),
+        n_buckets=4,
+        mode="mor",
+        compact_every=100,  # manual folds only
+    )
+    table.merge(e[0], epoch_id=0)
+    table.merge(e[1], epoch_id=1)
+    table.compact(strategy="bucketed")
+    e2 = e[2].withColumn("sentiment", F.expr(_SENTIMENT_SQL.format(x="text")))
+    table.merge(e2, epoch_id=2)
+    table.compact(strategy="bucketed")
+    folds = [c.get("strategy") for c in table.history() if c["op"] == "compact"]
+    assert folds == ["bucketed", "bucketed"], folds
+    return table.read().select(*_OUT_COLS, "sentiment")
+
+
 QUERIES_SINK = {
     "cdc_resume_replay": q_cdc_resume_replay,
     "cdc_schema_evolution": q_cdc_schema_evolution,
+    "cdc_bucketed_compaction": q_cdc_bucketed_compaction,
 }
 
 ORACLES_SINK = {
     "cdc_resume_replay": ORACLE_CDC_RESUME_REPLAY,
     "cdc_schema_evolution": ORACLE_CDC_SCHEMA_EVOLUTION,
+    # fold strategy must not change the result: same closed form
+    "cdc_bucketed_compaction": ORACLE_CDC_SCHEMA_EVOLUTION,
 }
