@@ -38,7 +38,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--compact-every", type=int, default=8)
     p.add_argument("--max-files-per-trigger", type=int, default=64)
     p.add_argument("--continuous", action="store_true", help="stay up (processing-time trigger)")
-    p.add_argument("--timeout-s", type=float, default=3600.0)
+    p.add_argument(
+        "--timeout-s",
+        type=float,
+        default=None,
+        help="stop after this long; default: 3600 in drain mode, "
+        "UNLIMITED with --continuous (the tail really stays up)",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -63,9 +69,9 @@ def main(argv: list[str] | None = None) -> int:
         salt_buckets=args.salt_buckets,
     )
     if args.continuous:
-        pipe.run_continuous(timeout_s=args.timeout_s)
+        pipe.run_continuous(timeout_s=args.timeout_s)  # None = run forever
     else:
-        pipe.run_until_idle(timeout_s=args.timeout_s)
+        pipe.run_until_idle(timeout_s=args.timeout_s or 3600.0)
     print(json.dumps({"epochs": pipe.metrics}))
     return 0
 

@@ -33,22 +33,8 @@ def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
-def _read(
-    spark: SparkSession, sf_dir: str, name: str, reshard: bool = True
-) -> DataFrame:
-    # heavy tables route through the once-per-sf resharded copy (a
-    # single-file/single-row-group table caps the scan stage at ONE
-    # task — see sources/testdata.py); oracles read the originals.
-    # ``reshard=False``: queries whose map-side work is CHEAP (one
-    # hash/regex per row, no shingle/bigram/pandas stage) read the
-    # original single file — the 32-file listing+scheduling overhead
-    # (~0.05-0.15 s measured at sf0.1) exceeds the parallelism win
-    # there, and at 100 TB such queries are shuffle- not scan-bound.
-    if not reshard:
-        return spark.read.parquet(_t(sf_dir, name))
-    from kahi_spark.sources.testdata import read_table
-
-    return read_table(spark, sf_dir, name)
+# reshard/original routing — single implementation, rationale there
+from kahi_spark.sources.testdata import read_query_table as _read  # noqa: E402
 
 
 # ---------------------------------------------------------------------------

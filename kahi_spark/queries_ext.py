@@ -35,17 +35,8 @@ from kahi_spark.operators.similarity import lsh_planes
 from kahi_spark.sources.events import derive_events_duckdb_sql, derive_transcript_events
 
 
-def _read(
-    spark: SparkSession, sf_dir: str, name: str, reshard: bool = True
-) -> DataFrame:
-    # heavy tables via the resharded copy (see sources/testdata.py);
-    # reshard=False for cheap-map queries where the 32-file overhead
-    # outweighs the win (measured per query — see queries.py._read)
-    if not reshard:
-        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    from kahi_spark.sources.testdata import read_table
-
-    return read_table(spark, sf_dir, name)
+# reshard/original routing — single implementation, rationale there
+from kahi_spark.sources.testdata import read_query_table as _read  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -711,13 +702,24 @@ def _ensure_worklist_csv() -> str:
 
 def ensure_oracle_fixtures() -> None:
     """Materialize every filesystem fixture an oracle SQL string
-    references (worklist CSV, expected-assets parquet). The driver
-    may run the DuckDB side before the Spark side, so
-    ``__spark_entry__.oracle_sql()`` calls this once up front; the
-    corresponding ``queries()`` entries also ensure their own fixture
-    lazily (either order works, import stays side-effect-free)."""
+    references (worklist CSV, expected-assets parquet, difflib
+    ground-truth parquets). The driver may run the DuckDB side before
+    the Spark side, so ``__spark_entry__.oracle_sql()`` calls this
+    once up front; the corresponding ``queries()`` entries also
+    ensure their own fixture lazily (either order works, import
+    stays side-effect-free).
+
+    The difflib fixtures are sf-DEPENDENT, so this pre-materializes
+    them at the driver's compare scale (sf0.01); a query call at any
+    other sf atomically rewrites them for its own scale before its
+    oracle runs (query-then-oracle per name in every in-process
+    harness)."""
     _ensure_worklist_csv()
     _ensure_expected_assets()
+    driver_sf = "/root/testdata/sf0.01"
+    if os.path.isdir(driver_sf):
+        _ensure_expected_corresponding(driver_sf)
+        _ensure_expected_colav(driver_sf)
 
 
 def q_csv_worklist_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1008,8 +1010,15 @@ SELECT * FROM h0 UNION ALL SELECT * FROM h1
 # fresh for the sf under compare.  Gate-scale only (a few KB).
 # ---------------------------------------------------------------------------
 
-_EXPECTED_CORR_PQ = "/tmp/kahi_expected_corresponding_v1.parquet"
-_EXPECTED_COLAV_PQ = "/tmp/kahi_expected_colav_v1.parquet"
+# pid-scoped paths: the oracle SQL string is built at import time IN
+# THE SAME PROCESS that later runs the query (driver gate, pytest
+# mirror, check_oracles all work this way), so embedding the pid
+# keeps concurrent runs at DIFFERENT scale factors from racing on one
+# fixture file (the content is sf-dependent; a fixed path let process
+# B's sf0.001 rewrite land between process A's sf0.01 query and its
+# oracle read)
+_EXPECTED_CORR_PQ = f"/tmp/kahi_expected_corresponding_v1_{os.getpid()}.parquet"
+_EXPECTED_COLAV_PQ = f"/tmp/kahi_expected_colav_v1_{os.getpid()}.parquet"
 
 
 def _round6_half_up(x: float) -> float:

@@ -644,10 +644,11 @@ class SnapshotTable:
         path moves only the delta. This is the storage-partitioned
         compaction a real deployment gets from an Iceberg bucket
         partition spec; here the bucket invariant is enforced by
-        construction (every base is written
-        ``repartition(n_buckets, keys)``, winners likewise, and
-        part-file INDEX identifies the bucket — asserted by the
-        global-vs-bucketed parity test).
+        construction — every base and the winners carry an explicit
+        ``_bucket = pmod(hash(keys), n)`` partition DIRECTORY
+        (``_bucket_expr`` documents why part-file indices must NOT
+        be trusted for this) — asserted by the global-vs-bucketed
+        parity test.
 
         ``strategy="global"``: the original whole-table window fold.
 

@@ -83,3 +83,23 @@ def table_path(spark: SparkSession, sf_dir: str, name: str) -> str:
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(spark, sf_dir, name))
+
+
+def read_query_table(
+    spark: SparkSession, sf_dir: str, name: str, reshard: bool = True
+) -> DataFrame:
+    """The query registries' table reader (aliased as ``_read`` in
+    queries.py / queries_ext.py — single implementation).
+
+    ``reshard=True``: heavy tables route through the once-per-sf
+    resharded copy (a single-file/single-row-group table caps the
+    scan stage at ONE task — see module docstring); oracles read the
+    originals. ``reshard=False``: queries whose map-side work is
+    CHEAP (one hash/regex per row, no shingle/bigram/pandas stage)
+    read the original single file — the 32-file listing+scheduling
+    overhead (~0.05-0.15 s measured at sf0.1) exceeds the
+    parallelism win there, and at 100 TB such queries are shuffle-
+    not scan-bound."""
+    if not reshard:
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_table(spark, sf_dir, name)

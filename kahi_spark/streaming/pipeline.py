@@ -51,6 +51,7 @@ class CdcPipeline:
         resolve_keyless: bool = False,
         dedup_index=None,
         keyless_index=None,
+        keyless_blocking: str = "conjunctive",
     ) -> None:
         """``salt_buckets``: >0 enables the two-phase salted LWW
         reduction for hot conv_ids (north_rule skew handling — a
@@ -62,6 +63,17 @@ class CdcPipeline:
         char-bigram similarity; EP3, the reference's
         similarity-driven ingest) and adopt the matched key, or mint
         a surrogate when nothing matches.
+
+        ``keyless_blocking``: the resolver's blocking mode.
+        ``"conjunctive"`` (default) is deterministic regardless of
+        batching. ``"auto"`` picks the cheaper single-key blocking
+        below ``SMALL_STATE_ROWS`` — a real win for small
+        deployments, but candidate recall is a SUPERSET there, so
+        the exact resolution of a borderline probe can depend on
+        WHICH epoch it arrived in relative to the flip point; opt in
+        only where any-batching state convergence is not required.
+        The auto decision is sticky once it lands on conjunctive
+        (state only grows), so the count probe stops re-running.
 
         ``keyless_index``: a ``KeylessFeatureIndex`` makes the
         keyless resolver's state side INCREMENTAL — candidate block
@@ -98,6 +110,10 @@ class CdcPipeline:
         self.resolve_keyless = resolve_keyless
         self.dedup_index = dedup_index
         self.keyless_index = keyless_index
+        self.keyless_blocking = keyless_blocking
+        self._keyless_blocking_resolved: str | None = None
+        if keyless_blocking not in ("conjunctive", "single", "auto"):
+            raise ValueError(f"keyless_blocking: {keyless_blocking!r}")
         if keyless_index is not None and policies:
             # the index featurizes each batch's LWW-winning text, but
             # per-column COW policies (fill_empty / source-priority)
@@ -150,8 +166,12 @@ class CdcPipeline:
         if n == 0:
             # still commit the epoch id: an unrecorded empty epoch
             # would stall the ledger's epoch_floor compaction forever
-            # (the floor only folds a contiguous committed prefix)
+            # (the floor only folds a contiguous committed prefix).
+            # The keyless index keeps its OWN ledger (SnapshotTable-
+            # backed) — record there too or ITS floor stalls instead
             self.table.record_empty_epoch(epoch_id)
+            if self.keyless_index is not None:
+                self.keyless_index.table.record_empty_epoch(epoch_id)
             return
         fancy = self.resolve_keyless or self.dedup_index is not None or self.converge_sources
         if not fancy:
@@ -212,18 +232,31 @@ class CdcPipeline:
                 if state_features is None and self.table.exists()
                 else self.spark.createDataFrame([], "conv_id string, turn_idx int, role string, text string")
             )
-            # "auto": single-key blocking below SMALL_STATE_ROWS —
-            # the conjunctive machinery's fixed cost only pays once
-            # the state outgrows it (operators/keyless.py)
+            blocking = self.keyless_blocking
+            if blocking == "auto":
+                if self._keyless_blocking_resolved:
+                    # sticky: state only grows, so once conjunctive
+                    # won it stays won — no more per-batch count jobs
+                    blocking = self._keyless_blocking_resolved
+                else:
+                    from kahi_spark.operators.keyless import SMALL_STATE_ROWS
+
+                    src = state_features if state_features is not None else state
+                    blocking = (
+                        "single" if src.count() < SMALL_STATE_ROWS else "conjunctive"
+                    )
+                    if blocking == "conjunctive":
+                        self._keyless_blocking_resolved = "conjunctive"
             normalized = resolve_keyless_events(
-                normalized, state, state_features=state_features, blocking="auto"
+                normalized, state, state_features=state_features, blocking=blocking
             )
             if self.keyless_index is not None:
                 # the resolved batch must land in the index BEFORE its
-                # own merge action consumes features() — the epoch-dir
-                # swap would otherwise pull files out from under the
-                # still-lazy plan. localCheckpoint bounds it to one
-                # batch (same discipline as LshDedupIndex.dedup_batch).
+                # own merge action consumes the features() plan — the
+                # backing table's compaction GC would otherwise delete
+                # files out from under the still-lazy plan.
+                # localCheckpoint bounds it to one batch (same
+                # discipline as LshDedupIndex.dedup_batch).
                 normalized = normalized.localCheckpoint(eager=True)
         n_deduped = 0
         if self.dedup_index is not None:
@@ -239,9 +272,10 @@ class CdcPipeline:
             watermark=wm,
         )
         if self.resolve_keyless and self.keyless_index is not None:
-            # also on ledger-skipped replays: a crash between merge
-            # commit and index update heals here (update is an
-            # idempotent epoch-dir swap)
+            # also on ledger-skipped replays: a crash between the main
+            # table's commit and the index's commit heals here — the
+            # index has its own epoch ledger, so a replayed update is
+            # exactly-once (returns False) rather than re-applied
             self.keyless_index.update(normalized, epoch_id)
         wall = time.time() - t0
         # in-memory mirror of the durable per-commit metrics the sink
