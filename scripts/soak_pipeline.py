@@ -3,7 +3,12 @@ into the MOR table (16 files per trigger, compact_every=4 → two
 mid-run compaction folds). Reports per-epoch and end-to-end ev/s —
 the amortized steady-state the 4M bench phase can't show.
 
-Usage: python scripts/soak_pipeline.py [n_events] [n_epochs]
+Usage: python scripts/soak_pipeline.py [n_events] [n_epochs] [cpus]
+
+``cpus`` overrides the parallelism level (default: bench.CPUS) — run
+at 8 and 32 for the SINK-INCLUSIVE two-cluster-size scaling evidence
+(the bench's `scaling` phase measures the compute job; this measures
+the full change-apply path including the MOR sink).
 """
 
 from __future__ import annotations
@@ -26,7 +31,7 @@ def main() -> None:
     from kahi_spark.sinks.snapshot import SnapshotTable
     from kahi_spark.streaming.pipeline import CdcPipeline
 
-    cpus = bench.CPUS
+    cpus = int(sys.argv[3]) if len(sys.argv) > 3 else bench.CPUS
     event_dir = bench.cached_events(n_events, n_epochs * files_per_epoch, "soak")
     warm_dir = bench.cached_events(40_000, 4, "pipewarm")
     tmp = "/tmp/kahi_soak"
