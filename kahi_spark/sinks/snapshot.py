@@ -232,6 +232,44 @@ class SnapshotTable:
             df = self.read_internal()
         return df.filter(~F.col(SYS_DELETED)).drop(SYS_SEQ, SYS_DELETED)
 
+    def lookup(self, *key_values) -> DataFrame:
+        """Point lookup (S4) with BUCKET PRUNING: the explicit
+        ``_bucket`` partition column lets Catalyst prune the base
+        scan to the one ``_bucket=k/`` directory the key hashes to —
+        ``pmod(hash(<literals>), n)`` constant-folds, so the
+        partition filter is static and the snapshot read touches
+        1/n_buckets of the files (the Iceberg bucket-transform
+        point-read; deltas are small and filtered normally).
+        Returns live rows for the key, resolved like ``read``."""
+        if len(key_values) != len(self.key_cols):
+            raise ValueError(f"expected values for {self.key_cols}")
+        bucket = F.pmod(
+            F.hash(*[F.lit(v) for v in key_values]), F.lit(self.n_buckets)
+        )
+        key_pred = None
+        for k, v in zip(self.key_cols, key_values):
+            p = F.col(k) == F.lit(v)
+            key_pred = p if key_pred is None else (key_pred & p)
+        m = self._read_manifest()
+        if m["snapshot"] is None and not m["deltas"]:
+            raise FileNotFoundError(f"table {self.path} has no committed snapshot")
+        parts = []
+        if m["snapshot"] is not None:
+            base = self.spark.read.parquet(os.path.join(self.path, m["snapshot"]))
+            if "_bucket" in base.columns:
+                base = base.filter(F.col("_bucket") == bucket).drop("_bucket")
+            parts.append(base.filter(key_pred))
+        for d in m["deltas"]:
+            parts.append(
+                self.spark.read.parquet(os.path.join(self.path, d)).filter(key_pred)
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        if len(parts) > 1:
+            df = self._resolve(df)
+        return df.filter(~F.col(SYS_DELETED)).drop(SYS_SEQ, SYS_DELETED)
+
     def read_internal(self) -> DataFrame:
         """Current state including tombstones + system columns.
 

@@ -137,3 +137,47 @@ def test_per_file_watermarks_in_manifest(spark, tmp_table_dir):
         assert sum(f["rows"] for f in files) == 2
         per_file_max = max(f["ts_max"] for f in files if f["ts_max"] is not None)
         assert "2024-01-01 00:00:09" in per_file_max, (mode, files)
+
+
+def test_lookup_bucket_pruning(spark, tmp_path):
+    """Point lookup prunes the base scan to the key's _bucket
+    directory (partition filter on the constant-folded hash) and
+    returns exactly the live row, honoring deltas and tombstones."""
+    from kahi_spark.gen import make_events
+    from kahi_spark.sinks.snapshot import SnapshotTable
+
+    pdf = make_events(2000, n_convs=16, seed=9)
+    df = spark.createDataFrame(pdf)
+    t = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=8, mode="mor", compact_every=100)
+    t.merge(df, epoch_id=0)
+    t.compact(strategy="bucketed")  # base now in _bucket=k dirs
+    # a later delta updating one key
+    from pyspark.sql import functions as F
+
+    full = t.read()
+    any_row = full.limit(1).collect()[0]
+    key = (any_row.conv_id, any_row.turn_idx)
+    upd = df.limit(1).select(
+        (F.lit(10_000_000)).alias("seq"), F.lit("update").alias("op"),
+        F.lit(key[0]).alias("conv_id"), F.lit(key[1]).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"), F.lit("looked-up text").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.to_timestamp(F.lit("2030-01-01")).alias("ts"), F.lit("lens").alias("source"),
+    )
+    t.merge(upd, epoch_id=1)
+    got = t.lookup(*key).collect()
+    assert len(got) == 1 and got[0].text == "looked-up text"
+    # pruning visible in the physical plan: partition filter on _bucket
+    import io, contextlib
+
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        t.lookup(*key).explain("formatted")
+    plan = buf.getvalue()
+    # the bucket hash constant-folds: a concrete `(_bucket#N = k)`
+    # partition filter proves the scan prunes to ONE directory
+    assert re.search(r"PartitionFilters: \[.*\(_bucket#\d+ = \d+\)", plan), plan[:2000]
+    # a missing key returns empty, not an error
+    assert t.lookup("no-such-conv", 0).count() == 0
