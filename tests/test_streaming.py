@@ -129,7 +129,7 @@ def test_run_continuous_applies_and_stops(spark, tmp_path):
     write_event_batches(binlog, n_events=900, n_batches=3, seed=41)
     table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=2, mode="mor")
     pipe = CdcPipeline(spark, binlog, table, str(tmp_path / "ckpt"))
-    metrics = pipe.run_continuous(interval="1 seconds", timeout_s=20)
+    metrics = pipe.run_continuous(interval="1 seconds", timeout_s=12)
     assert sum(m["events"] for m in metrics) == 900
     assert table.read().count() > 0
     # same checkpoint, drain mode: nothing new
