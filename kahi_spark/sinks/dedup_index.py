@@ -150,6 +150,13 @@ class LshDedupIndex:
         swaps = []
         for sub, df in writes:
             final = os.path.join(self.path, sub, f"epoch_{epoch_id}")
+            # sweep tmp dirs a crashed previous delivery left behind
+            # (never referenced by readers — pure leakage otherwise)
+            parent = os.path.dirname(final)
+            if os.path.isdir(parent):
+                for e in os.scandir(parent):
+                    if e.is_dir() and ".tmp-" in e.name:
+                        shutil.rmtree(e.path, ignore_errors=True)
             tmp = f"{final}.tmp-{uuid.uuid4().hex}"
             df.write.mode("overwrite").parquet(tmp)
             swaps.append((tmp, final))

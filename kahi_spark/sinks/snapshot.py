@@ -704,6 +704,13 @@ class SnapshotTable:
         if not m["deltas"]:
             return
         t0 = time.time()
+        # sweep winners dirs a crashed previous fold left behind (the
+        # manifest never references them, so they are pure leakage —
+        # at millions of compactions an unswept orphan per crash adds
+        # up); the current fold writes a fresh uniquely-versioned dir
+        for e in os.scandir(self.path):
+            if e.is_dir() and e.name.startswith("_compact_winners_"):
+                shutil.rmtree(e.path, ignore_errors=True)
         version = m["version"] + 1
         if strategy == "auto":
             def _dir_bytes(sub: str) -> int:

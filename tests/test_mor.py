@@ -126,3 +126,20 @@ def test_bucketed_compaction_tombstones_and_replay(spark, tmp_path):
     assert sorted_state(t) == [("c2", 0, "y")]
     t.compact(strategy="bucketed")
     assert sorted_state(t) == [("c2", 0, "y")]
+
+
+def test_compact_sweeps_orphaned_winners_dirs(spark, tmp_path):
+    """A crash between the winners write and its cleanup leaves an
+    unreferenced _compact_winners_* dir; the next compact sweeps it."""
+    import os
+
+    pdf = make_events(600, n_convs=6, seed=3)
+    df = spark.createDataFrame(pdf)
+    t = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=2, mode="mor", compact_every=100)
+    t.merge(df, epoch_id=0)
+    orphan = str(tmp_path / "t" / "_compact_winners_99999999")
+    os.makedirs(orphan)
+    before = sorted(t.read().orderBy("conv_id", "turn_idx").collect())
+    t.compact(strategy="bucketed")
+    assert not os.path.exists(orphan)
+    assert sorted(t.read().orderBy("conv_id", "turn_idx").collect()) == before
