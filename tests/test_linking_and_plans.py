@@ -139,3 +139,25 @@ def test_round2_query_plans_have_no_cartesian_products(spark):
         df = QUERIES[name](spark, sf)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Scan parquet") == 1, f"{name}: feed dispatch must be one scan"
+
+
+def test_dedup_index_probe_broadcasts_the_batch_side(spark, tmp_path):
+    """find_neardups must probe the (10^10-row) persistent index in
+    place: the batch bands broadcast, so no index-side Exchange sits
+    under the candidate join (a silent revert to a shuffle join is a
+    100-TB regression this asserts against)."""
+    from kahi_spark.sinks.dedup_index import LshDedupIndex
+
+    idx = LshDedupIndex(spark, str(tmp_path / "idx"))
+    docs = spark.createDataFrame(
+        [(str(i), f"alpha beta gamma delta epsilon word{i} zeta eta") for i in range(30)],
+        "k string, text string",
+    )
+    idx.add(idx._signatures(docs, "k", "text"), epoch_id=0)
+    batch = spark.createDataFrame(
+        [("b1", "alpha beta gamma delta epsilon word1 zeta etas")],
+        "k string, text string",
+    )
+    plan = _plan(idx.find_neardups(idx._signatures(batch, "k", "text")))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
