@@ -72,21 +72,27 @@ def sf_from_dir(d: str) -> float:
 GEN_CACHE = "/tmp/kahi_bench_gen_cache"
 
 
-def cached_events(n_events: int, n_files: int, tag: str) -> str:
+def cached_events(n_events: int, n_files: int, tag: str, **gen_kwargs) -> str:
     import uuid
 
     from kahi_spark.gen import GEN_EVENTS_VER
 
     # generator version in the key: an edit to generate_events_spark
-    # must invalidate previously cached inputs (ADVICE r2)
-    path = os.path.join(GEN_CACHE, f"{tag}-v{GEN_EVENTS_VER}-{n_events}-{n_files}")
+    # must invalidate previously cached inputs (ADVICE r2). Non-default
+    # generator kwargs (e.g. the skew probe's hot_turns) fold into the
+    # key too — same contract, different parameters = different input.
+    kw = "-".join(f"{k}{v}" for k, v in sorted(gen_kwargs.items()))
+    suffix = f"-{kw}" if kw else ""
+    path = os.path.join(
+        GEN_CACHE, f"{tag}-v{GEN_EVENTS_VER}-{n_events}-{n_files}{suffix}"
+    )
     if not os.path.exists(path):
         os.makedirs(GEN_CACHE, exist_ok=True)
         from kahi_spark.gen import generate_events_spark
 
         spark = fresh_session(f"local[{CPUS}]", CPUS)
         tmp = f"{path}.build-{uuid.uuid4().hex}"
-        generate_events_spark(spark, n_events, tmp, n_files=n_files)
+        generate_events_spark(spark, n_events, tmp, n_files=n_files, **gen_kwargs)
         spark.stop()
         try:
             os.rename(tmp, path)

@@ -35,9 +35,18 @@ def make_events(
     delete_rate: float = 0.03,
     update_rate: float = 0.15,
     hot_fraction: float = 0.10,
+    hot_turns: int | None = None,
     start_epoch: int = 1_704_067_200,  # 2024-01-01 UTC
 ) -> pd.DataFrame:
-    """One ordered change-event frame with the EVENT_SCHEMA columns."""
+    """One ordered change-event frame with the EVENT_SCHEMA columns.
+
+    ``hot_turns``: by default the hot conversation's events DISPERSE
+    over many turn_idx values, so the actual window key
+    ``(conv_id, turn_idx)`` is barely skewed (VERDICT r4 #1). Set a
+    small int to concentrate the hot conversation on that many turn
+    keys — ``hot_turns=1`` puts ~``hot_fraction`` of ALL events on
+    the single key ``(c0, 0)``, the north-rule's "one conversation
+    holding a large share of 10^10 events" skew scenario."""
     rng = np.random.default_rng(seed)
     n_convs = n_convs or max(4, n_events // 50)
 
@@ -47,7 +56,7 @@ def make_events(
     # geometric-ish turn counts: hot conv has many turns, others few
     turn = np.where(
         hot,
-        rng.integers(0, max(8, n_events // 20), n_events),
+        rng.integers(0, hot_turns or max(8, n_events // 20), n_events),
         rng.integers(0, 1 + rng.integers(4, 40), n_events),
     ).astype(np.int32)
 
@@ -143,6 +152,7 @@ def generate_events_spark(
     seed: int = 42,
     n_convs: int | None = None,
     hot_fraction: float = 0.10,
+    hot_turns: int | None = None,
     delete_rate: float = 0.03,
     update_rate: float = 0.15,
     start_epoch: int = 1_704_067_200,
@@ -173,7 +183,11 @@ def generate_events_spark(
 
     hot = unit(1) < hot_fraction
     conv = F.when(hot, F.lit(0)).otherwise(h(2) % F.lit(max(1, n_convs - 1)) + 1)
-    turn = F.when(hot, h(3) % F.lit(max(8, n_events // 20))).otherwise(h(3) % 30)
+    # hot_turns concentrates the hot conversation on that many window
+    # keys (see make_events) — the genuinely-skewed reduction fixture
+    turn = F.when(
+        hot, h(3) % F.lit(hot_turns or max(8, n_events // 20))
+    ).otherwise(h(3) % 30)
     r_op = unit(4)
     op = (
         F.when(r_op < delete_rate, F.lit("delete"))

@@ -935,6 +935,14 @@ GATE_WINDOW = 50
 #:   sessionize_events    — §2.8d twin of session_window_native
 #:   intersect_custkeys   — §2.6 set-op twin of union_distinct_nations
 #:   distinct_users       — A8 twin of text_stats / conversation_stats
+#:   doc_fingerprint      — md5-fingerprint component keeps gated
+#:                          sibling exact_dedup (same VERDICT row),
+#:                          and the text-analysis family keeps four
+#:                          gated members (token_bpe / lang_id /
+#:                          text_stats / quality_score); demoted so
+#:                          quality_score — whose punct/stopword
+#:                          gating has NO gated sibling (ADVICE r4)
+#:                          — gets driver-scale coverage back
 _DEMOTED = [
     "embedding_neardup",
     "simhash_neardup",
@@ -942,10 +950,7 @@ _DEMOTED = [
     "sessionize_events",
     "intersect_custkeys",
     "distinct_users",
-    # quality_score: text-analysis family stays gated via token_bpe /
-    # lang_id / text_stats / doc_fingerprint (demoted to make window
-    # room for cdc_bucketed_compaction)
-    "quality_score",
+    "doc_fingerprint",
 ]
 
 #: entries that MUST hold early positions: the round-3 sink/decode/

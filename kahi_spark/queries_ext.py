@@ -1010,15 +1010,30 @@ SELECT * FROM h0 UNION ALL SELECT * FROM h1
 # fresh for the sf under compare.  Gate-scale only (a few KB).
 # ---------------------------------------------------------------------------
 
-# pid-scoped paths: the oracle SQL string is built at import time IN
-# THE SAME PROCESS that later runs the query (driver gate, pytest
-# mirror, check_oracles all work this way), so embedding the pid
-# keeps concurrent runs at DIFFERENT scale factors from racing on one
-# fixture file (the content is sf-dependent; a fixed path let process
-# B's sf0.001 rewrite land between process A's sf0.01 query and its
-# oracle read)
-_EXPECTED_CORR_PQ = f"/tmp/kahi_expected_corresponding_v1_{os.getpid()}.parquet"
-_EXPECTED_COLAV_PQ = f"/tmp/kahi_expected_colav_v1_{os.getpid()}.parquet"
+# Scale-keyed paths (VERDICT r4 #7 — pid-keying made the fixture
+# invisible to a process that didn't write it). The fixture content
+# is sf-DEPENDENT (it derives from the sf's customer/documents
+# tables), so each scale factor gets its OWN file, keyed by the
+# source table's row count (150 / 1 500 / 15 000 … never collide
+# across the driver's sf dirs), and every fixture row carries that
+# count as ``n_src``. The oracle SQL reads the whole glob and keeps
+# the rows whose ``n_src`` equals ``COUNT(*)`` of the registered
+# DuckDB view — i.e. the oracle itself selects the fixture matching
+# the sf under compare, from ANY process, with concurrent runs at
+# different scales writing disjoint files.
+_EXPECTED_CORR_GLOB = "/tmp/kahi_expected_corresponding_v2_n*.parquet"
+_EXPECTED_COLAV_GLOB = "/tmp/kahi_expected_colav_v2_n*.parquet"
+
+
+def _scale_keyed_path(glob_pattern: str, n_src: int) -> str:
+    return glob_pattern.replace("*", str(n_src))
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count from the parquet FOOTER — no data scan."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def _round6_half_up(x: float) -> float:
@@ -1091,12 +1106,16 @@ def _ensure_expected_corresponding(sf_dir: str) -> None:
     pdf = pdf.astype(
         {"probe_id": "int64", "cand_id": "int64", "score": "float64", "stage": "int32"}
     )
-    _atomic_write_parquet(pdf, _EXPECTED_CORR_PQ)
+    pdf["n_src"] = len(cust)  # the oracle's scale selector
+    _atomic_write_parquet(
+        pdf, _scale_keyed_path(_EXPECTED_CORR_GLOB, len(cust))
+    )
 
 
 ORACLE_CORRESPONDING = f"""
 SELECT probe_id, cand_id, score, stage
-FROM read_parquet('{_EXPECTED_CORR_PQ}')
+FROM read_parquet('{_EXPECTED_CORR_GLOB}', union_by_name = true)
+WHERE n_src = (SELECT COUNT(*) FROM customer)
 """
 
 
@@ -1128,11 +1147,15 @@ def _ensure_expected_colav(sf_dir: str) -> None:
             ):
                 out.append((int(p.doc_id), int(c.doc_id) + 1000))
     pdf = pd.DataFrame(out, columns=["probe_id", "cand_id"]).astype("int64")
-    _atomic_write_parquet(pdf, _EXPECTED_COLAV_PQ)
+    n_src = _parquet_rows(f"{sf_dir}/documents.parquet")
+    pdf["n_src"] = n_src  # the oracle's scale selector
+    _atomic_write_parquet(pdf, _scale_keyed_path(_EXPECTED_COLAV_GLOB, n_src))
 
 
 ORACLE_COLAV = f"""
-SELECT probe_id, cand_id FROM read_parquet('{_EXPECTED_COLAV_PQ}')
+SELECT probe_id, cand_id
+FROM read_parquet('{_EXPECTED_COLAV_GLOB}', union_by_name = true)
+WHERE n_src = (SELECT COUNT(*) FROM documents)
 """
 
 

@@ -260,7 +260,12 @@ class CdcPipeline:
                 normalized = normalized.localCheckpoint(eager=True)
         n_deduped = 0
         if self.dedup_index is not None:
-            normalized, n_deduped = self.dedup_index.dedup_batch(normalized, epoch_id)
+            # pass the already-measured batch size: normalize/resolve
+            # are row-preserving, so `n` is exact and the index skips
+            # its own count job (one driver action per epoch saved)
+            normalized, n_deduped = self.dedup_index.dedup_batch(
+                normalized, epoch_id, n_events=n
+            )
         if self.converge_sources:
             normalized = self._converge(normalized)
         applied = self.table.merge(

@@ -143,3 +143,25 @@ def test_compact_sweeps_orphaned_winners_dirs(spark, tmp_path):
     t.compact(strategy="bucketed")
     assert not os.path.exists(orphan)
     assert sorted(t.read().orderBy("conv_id", "turn_idx").collect()) == before
+
+
+def test_bucketed_fold_preserves_big_int64_with_nulls(spark, tmp_path):
+    """ADVICE r4: the pandas fold converted int64-with-null columns
+    to float64, silently corrupting values above 2^53. The Arrow
+    fold must keep them bit-exact — exercised through schema
+    evolution (epoch-0 rows read the added bigint column as NULL)."""
+    big = (1 << 60) + 7  # not representable in float64
+    t = SnapshotTable(spark, str(tmp_path / "bi"), n_buckets=2, mode="mor", compact_every=100)
+    t.merge(spark.createDataFrame([ev(0, "insert", "c1", 0, "x", 10)], EVENT_SCHEMA), epoch_id=0)
+    evolved = spark.createDataFrame(
+        [ev(1, "insert", "c2", 0, "y", 20)], EVENT_SCHEMA
+    ).withColumn("fp", F.lit(big).cast("long"))
+    t.merge(evolved, epoch_id=1)
+    t.compact(strategy="bucketed")
+    got = {r.conv_id: r.fp for r in t.read().collect()}
+    assert got == {"c1": None, "c2": big}
+    # and through a SECOND fold (base now carries the nullable bigint)
+    t.merge(spark.createDataFrame([ev(2, "insert", "c3", 0, "z", 30)], EVENT_SCHEMA), epoch_id=2)
+    t.compact(strategy="bucketed")
+    got = {r.conv_id: r.fp for r in t.read().collect()}
+    assert got == {"c1": None, "c2": big, "c3": None}

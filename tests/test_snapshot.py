@@ -181,3 +181,86 @@ def test_lookup_bucket_pruning(spark, tmp_path):
     assert re.search(r"PartitionFilters: \[.*\(_bucket#\d+ = \d+\)", plan), plan[:2000]
     # a missing key returns empty, not an error
     assert t.lookup("no-such-conv", 0).count() == 0
+
+
+def test_reopen_with_different_key_cols_raises(spark, tmp_table_dir):
+    """key_cols are table identity (manifest-recorded, ADVICE r4):
+    reopening with other keys would silently corrupt merges."""
+    import pytest
+
+    t = SnapshotTable(spark, tmp_table_dir, n_buckets=2)
+    t.merge(events_df(spark, [ev(0, "insert", "c1", 0, "a", 0)]), epoch_id=0)
+    with pytest.raises(ValueError, match="key_cols"):
+        SnapshotTable(spark, tmp_table_dir, key_cols=["conv_id"], n_buckets=2)
+
+
+def test_rebucket_forces_global_fold_and_lookup_uses_recorded_modulus(spark, tmp_path):
+    """Reopening with a different n_buckets (rebucketing request,
+    ADVICE r4): the next fold must NOT bucket-zip against the
+    old-modulus base (zombie duplicates), and point lookups must
+    prune with the modulus the base was WRITTEN with until then."""
+    from kahi_spark.gen import make_events
+
+    path = str(tmp_path / "rb")
+    pdf = make_events(1500, n_convs=12, seed=5)
+    df = spark.createDataFrame(pdf)
+    t4 = SnapshotTable(spark, path, n_buckets=4, mode="mor", compact_every=100)
+    t4.merge(df, epoch_id=0)
+    t4.compact(strategy="bucketed")  # base written with modulus 4
+    expect = {
+        (r.conv_id, r.turn_idx): r.text for r in t4.read().collect()
+    }
+    some_key = next(iter(expect))
+
+    # reopen with a DIFFERENT modulus
+    t8 = SnapshotTable(spark, path, n_buckets=8, mode="mor", compact_every=100)
+    # lookup before any fold: must use the recorded modulus (4), not 8
+    got = t8.lookup(*some_key).collect()
+    assert len(got) == 1 and got[0].text == expect[some_key]
+    # an update delta, then an explicitly-requested bucketed fold:
+    # the mismatch guard must downgrade it to ONE global fold
+    upd = events_df(
+        spark,
+        [(10_000_000, "update", some_key[0], some_key[1], "user",
+          "rebucketed", None, ts(10_000), "lens")],
+    )
+    t8.merge(upd, epoch_id=1)
+    t8.compact(strategy="bucketed")
+    folds = [c for c in t8.history() if c["op"] == "compact"]
+    assert folds[-1]["strategy"] == "global"
+    expect[some_key] = "rebucketed"
+    assert {
+        (r.conv_id, r.turn_idx): r.text for r in t8.read().collect()
+    } == expect
+    # the rewrite recorded the new modulus: the NEXT fold is bucketed
+    # again and lookups prune with modulus 8
+    t8.merge(
+        events_df(
+            spark,
+            [(10_000_001, "update", some_key[0], some_key[1], "user",
+              "again", None, ts(10_001), "lens")],
+        ),
+        epoch_id=2,
+    )
+    t8.compact(strategy="bucketed")
+    assert [c for c in t8.history() if c["op"] == "compact"][-1]["strategy"] == "bucketed"
+    assert t8.lookup(*some_key).collect()[0].text == "again"
+
+
+def test_lookup_typed_literal_on_long_key(spark, tmp_path):
+    """ADVICE r4: a Python int literal hashes as IntegerType, but a
+    LongType key column's bucket dirs were hashed as bigint —
+    un-cast literals prune the wrong directory and lose live rows."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "lk"), key_cols=["k"], n_buckets=8,
+        mode="mor", compact_every=100,
+    )
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "insert", i, ts(i)) for i in range(64)],
+        "k long, text string, op string, seq long, ts timestamp",
+    )
+    t.merge(df, epoch_id=0)
+    t.compact(strategy="bucketed")
+    for probe in (5, 63):
+        got = t.lookup(probe).collect()
+        assert len(got) == 1 and got[0].text == f"v{probe}", probe
