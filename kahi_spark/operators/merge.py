@@ -81,6 +81,7 @@ def latest_change_per_key(
     events: DataFrame,
     key_cols: list[str] | None = None,
     salt_buckets: int = 0,
+    strategy: str = "window",
 ) -> DataFrame:
     """Reduce a change batch to its final change per key (LWW).
 
@@ -89,18 +90,59 @@ def latest_change_per_key(
     followed by a re-insert survives as the insert, an insert
     followed by updates survives as the last update.
 
-    Implemented as ``row_number() over (partition by key order by
-    ts desc, seq desc) = 1`` — one shuffle on the key.
+    ``strategy``:
 
-    ``salt_buckets > 0`` splits hot keys into N sub-partitions
-    first (pre-reduce per salt, then re-reduce unsalted). For a
-    conversation holding ~10% of 10^10 events, the two-phase
-    reduction keeps every task bounded: phase 1 shuffles on
-    ``(key, salt)`` (cardinality × N), phase 2 shuffles only the
-    N survivors per hot key. North_rule skew handling; see also
-    AQE skew-join for the join side.
+    * ``"window"`` (default) — ``row_number() over (partition by key
+      order by ts desc, seq desc) = 1``: one shuffle on the key, one
+      per-partition sort. Fastest at moderate skew (measured: a
+      single key holding 10% — even 50% — of a 24M-event log costs
+      the window path nothing visible at local[32]; the tail task's
+      in-memory sort is cheap next to the shuffle).
+    * ``"agg"`` — ``max_by(struct(values), struct(ts, seq))`` with
+      map-side PARTIAL aggregation: a hot key collapses to ONE row
+      per map partition BEFORE the shuffle, so per-task work is
+      bounded by construction at ANY skew — at 10^10 events with
+      10% on one conversation, the window path's hot task sorts
+      10^9 rows (spilling, wall-dominating) while this path shuffles
+      ≤ n_map_partitions rows for that key. Measured at 24M/local[32]:
+      fastest under extreme skew (3.5 s vs 4.2 s window at a 50%-hot
+      key), ~1.4× slower than window on uniform input (high
+      distinct-key cardinality pays the aggregation-merge overhead).
+      The production default for genuinely skewed logs; ties on
+      (ts, seq) pick an arbitrary winner exactly like row_number.
+
+    ``salt_buckets > 0`` (window strategy only) splits hot keys into
+    N sub-partitions first (pre-reduce per salt, then re-reduce
+    unsalted) — the classic two-phase salted reduction. MEASURED
+    HONESTLY (scripts/skew_probe.py, 24M events, local[32]): the
+    extra full shuffle costs MORE than the skewed sort saves at this
+    scale — 0.5× at a 10%-hot key, 0.7× at a 50%-hot key — so it
+    stays opt-in; prefer ``strategy="agg"`` for bounded-task skew
+    handling (same boundedness, no second shuffle). The salted path
+    remains correct (parity-tested) for regimes where a single
+    partition cannot even hold the hot key's rows.
     """
     keys = key_cols or KEY_COLS
+    if strategy == "agg":
+        vals = [c for c in events.columns if c not in keys]
+        ordk = F.struct(
+            F.coalesce(F.col("ts"), F.to_timestamp(F.lit(_TS_FLOOR))).alias("t"),
+            F.col("seq").alias("s"),
+        )
+        won = events.groupBy(*keys).agg(
+            F.max_by(F.struct(*[F.col(c) for c in vals]), ordk).alias("_w")
+        )
+        # restore the original column order (callers and checksums
+        # are column-order sensitive)
+        out = won.select(
+            *[
+                F.col(f"_w.{c}").alias(c) if c in vals else F.col(c)
+                for c in events.columns
+            ]
+        )
+        return out
+    if strategy != "window":
+        raise ValueError(f"unknown reduce strategy {strategy!r}")
     if salt_buckets > 0:
         salted = events.withColumn(
             "_salt", F.pmod(F.xxhash64(F.col("seq")), F.lit(salt_buckets))
@@ -307,6 +349,7 @@ def reduce_events_to_state(
     key_cols: list[str] | None = None,
     value_cols: list[str] | None = None,
     salt_buckets: int = 0,
+    strategy: str = "window",
 ) -> DataFrame:
     """Full replay: change log → final table state in one pass.
 
@@ -315,7 +358,9 @@ def reduce_events_to_state(
     fast path for initial table bootstrap (one shuffle total).
     """
     keys = key_cols or KEY_COLS
-    last = latest_change_per_key(events, key_cols=keys, salt_buckets=salt_buckets)
+    last = latest_change_per_key(
+        events, key_cols=keys, salt_buckets=salt_buckets, strategy=strategy
+    )
     live = last.filter(F.col("op") != "delete")
     vals = value_cols or [
         c for c in live.columns if c not in keys and c not in ("op", "seq", "source")

@@ -85,12 +85,13 @@ class KeylessFeatureIndex:
         ledger no-op (returns False). Deletes flow through as
         tombstones so ``features()`` drops the key.
 
-        ASSUMES plain LWW table semantics: the features are computed
-        from the batch's LWW-winning text, so a sink configured with
-        per-column merge policies (fill_empty / source-priority)
-        could hold final text that differs from what was indexed —
-        feature drift. ``CdcPipeline.__init__`` rejects that
-        combination."""
+        ASSUMES the supplied batch's LWW-winning text IS the table's
+        final text per key. That holds for plain LWW tables and for
+        per-column policies on NON-feature columns; when a policy
+        touches text/role, ``CdcPipeline`` feeds this method the
+        post-merge state of the affected keys instead
+        (``_post_merge_feature_source``) so the features never
+        drift."""
         from kahi_spark.operators.merge import latest_change_per_key
 
         reduced = latest_change_per_key(normalized_batch)

@@ -45,6 +45,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 
@@ -149,6 +150,7 @@ class SnapshotTable:
         n_buckets: int = 16,
         mode: str = "cow",
         compact_every: int = 8,
+        compact_async: bool = False,
     ) -> None:
         """``mode``:
 
@@ -162,7 +164,19 @@ class SnapshotTable:
           compaction — the north_rule's "storage-partitioned
           merge-on-read compaction"). Write cost O(batch) per epoch —
           the only viable shape at 10^10 events.
-        """
+
+        ``compact_async`` (MOR only): the fold that used to BLOCK its
+        triggering epoch (~the dominant serial term behind the
+        round-4 sink-inclusive scaling number) runs in a background
+        thread instead — epoch N+1 appends while versions [0..k) fold.
+        Safe because deltas are immutable, the fold works over a set
+        FROZEN at fold start, and the final manifest swap re-reads
+        the manifest under a lock and removes only the folded deltas
+        (appends that landed mid-fold survive). Folded dirs are
+        deleted one fold cycle LATE (the manifest's ``trash`` list)
+        so a reader plan captured just before the swap never loses
+        files mid-job. ``compact()`` stays synchronous; failures in
+        the background fold re-raise on the next merge/wait."""
         assert mode in ("cow", "mor")
         self.spark = spark
         self.path = path
@@ -170,6 +184,12 @@ class SnapshotTable:
         self.n_buckets = n_buckets
         self.mode = mode
         self.compact_every = compact_every
+        self.compact_async = compact_async
+        #: guards every manifest read-modify-write (epoch appends vs
+        #: the background fold's final swap run on different threads)
+        self._mlock = threading.RLock()
+        self._compact_thread: threading.Thread | None = None
+        self._compact_exc: BaseException | None = None
         os.makedirs(path, exist_ok=True)
         # layout guard (ADVICE r4): key_cols are part of the table's
         # identity — reopening with different keys would make every
@@ -339,13 +359,19 @@ class SnapshotTable:
         m = self._read_manifest()
         if m["snapshot"] is None and not m["deltas"]:
             raise FileNotFoundError(f"table {self.path} has no committed snapshot")
+        return self._read_parts(m["snapshot"], m["deltas"])
+
+    def _read_parts(self, snapshot: str | None, deltas: list[str]) -> DataFrame:
+        """State assembled from an EXPLICIT (base, deltas) set — the
+        async fold works over a set frozen at fold start, which may
+        be older than the live manifest by the time the plan runs."""
         parts = []
-        if m["snapshot"] is not None:
-            base = self.spark.read.parquet(os.path.join(self.path, m["snapshot"]))
+        if snapshot is not None:
+            base = self.spark.read.parquet(os.path.join(self.path, snapshot))
             if "_bucket" in base.columns:  # bucket-dir layout partition col
                 base = base.drop("_bucket")
             parts.append(base)
-        for d in m["deltas"]:
+        for d in deltas:
             parts.append(self.spark.read.parquet(os.path.join(self.path, d)))
         df = parts[0]
         for p in parts[1:]:
@@ -410,8 +436,10 @@ class SnapshotTable:
         20k winners → ONE file)."""
         return F.pmod(F.hash(*[F.col(k) for k in self.key_cols]), F.lit(self.n_buckets))
 
-    def _write_snapshot(self, df: DataFrame, version: int) -> str:
-        snap = f"v{version:08d}"
+    def _write_snapshot(
+        self, df: DataFrame, version: int | None = None, dirname: str | None = None
+    ) -> str:
+        snap = dirname if dirname is not None else f"v{version:08d}"
         out = os.path.join(self.path, snap)
         (
             df.withColumn("_bucket", self._bucket_expr())
@@ -434,32 +462,33 @@ class SnapshotTable:
         self._commit(state, epoch_id=epoch_id, op="init", rows_in=df.count())
 
     def _commit(self, new_state: DataFrame, epoch_id: int | None, op: str, **metrics) -> None:
-        m = self._read_manifest()
-        version = m["version"] + 1
-        t0 = time.time()
-        snap = self._write_snapshot(new_state, version)
-        # resolve lazy metrics AFTER the write (see _lazy)
-        resolved = {k: _lazy(v) for k, v in metrics.items()}
-        if resolved.get("watermark") is not None:
-            resolved["watermark"] = str(resolved["watermark"])
-        # per-bucket lineage from the written footers (metadata-only)
-        resolved["files"] = _file_stats(os.path.join(self.path, snap))
-        m["version"] = version
-        m["snapshot"] = snap
-        m["key_cols"] = list(self.key_cols)
-        m["base_n_buckets"] = self.n_buckets  # modulus this base was written with
-        if epoch_id is not None:
-            m["epochs"][str(epoch_id)] = version
-        m["commits"].append(
-            {
-                "version": version,
-                "epoch_id": epoch_id,
-                "op": op,
-                "wall_s": round(time.time() - t0, 3),
-                **resolved,
-            }
-        )
-        self._commit_manifest(m)
+        with self._mlock:  # COW path is single-threaded; lock is cheap
+            m = self._read_manifest()
+            version = m["version"] + 1
+            t0 = time.time()
+            snap = self._write_snapshot(new_state, version)
+            # resolve lazy metrics AFTER the write (see _lazy)
+            resolved = {k: _lazy(v) for k, v in metrics.items()}
+            if resolved.get("watermark") is not None:
+                resolved["watermark"] = str(resolved["watermark"])
+            # per-bucket lineage from the written footers (metadata-only)
+            resolved["files"] = _file_stats(os.path.join(self.path, snap))
+            m["version"] = version
+            m["snapshot"] = snap
+            m["key_cols"] = list(self.key_cols)
+            m["base_n_buckets"] = self.n_buckets  # modulus this base was written with
+            if epoch_id is not None:
+                m["epochs"][str(epoch_id)] = version
+            m["commits"].append(
+                {
+                    "version": version,
+                    "epoch_id": epoch_id,
+                    "op": op,
+                    "wall_s": round(time.time() - t0, 3),
+                    **resolved,
+                }
+            )
+            self._commit_manifest(m)
         self._gc(keep=4)
 
     def record_empty_epoch(self, epoch_id: int) -> bool:
@@ -472,11 +501,12 @@ class SnapshotTable:
         unbounded-state failure the floor exists to prevent.
         Idempotent like ``merge``; returns False if already
         committed."""
-        m = self._read_manifest()
-        if self._epoch_committed(m, epoch_id):
-            return False
-        m["epochs"][str(epoch_id)] = m["version"]
-        self._commit_manifest(m)
+        with self._mlock:
+            m = self._read_manifest()
+            if self._epoch_committed(m, epoch_id):
+                return False
+            m["epochs"][str(epoch_id)] = m["version"]
+            self._commit_manifest(m)
         return True
 
     def _gc(self, keep: int) -> None:
@@ -495,6 +525,7 @@ class SnapshotTable:
         value_cols: list[str] | None = None,
         policies: dict[str, str] | None = None,
         salt_buckets: int = 0,
+        reduce_strategy: str = "window",
         extra_metrics: dict | None = None,
         watermark=None,
         pre_reduced: bool = False,
@@ -530,7 +561,10 @@ class SnapshotTable:
             changes
             if pre_reduced
             else latest_change_per_key(
-                changes, key_cols=self.key_cols, salt_buckets=salt_buckets
+                changes,
+                key_cols=self.key_cols,
+                salt_buckets=salt_buckets,
+                strategy=reduce_strategy,
             )
         )
         extra = extra_metrics or {}
@@ -587,11 +621,19 @@ class SnapshotTable:
         watermark=None,
     ) -> bool:
         """Append the reduced batch as a delta file (cost O(batch));
-        fold deltas into a new base every ``compact_every`` epochs."""
+        fold deltas into a new base every ``compact_every`` epochs —
+        inline, or in the background thread when ``compact_async``
+        (the fold no longer blocks its triggering epoch)."""
+        # a failed background fold must fail the PIPELINE, loudly,
+        # not let deltas accumulate behind a dead compactor
+        self._reraise_compact_failure()
         t0 = time.time()
         delta_state = state_from_reduced(reduced, key_cols=self.key_cols)
-        version = m["version"] + 1
-        delta_dir = f"d{version:08d}"
+        # dir name from the entry-time version, disambiguated: the
+        # background fold may commit (and bump the version) while this
+        # delta is being written, so the name is a LABEL — the
+        # manifest list is the source of truth
+        delta_dir = f"d{m['version'] + 1:08d}-{uuid.uuid4().hex[:6]}"
         # NO repartition: latest_change_per_key's window already left
         # the rows hash-partitioned on the key — an explicit
         # repartition here would be a redundant second shuffle (file
@@ -600,27 +642,37 @@ class SnapshotTable:
         delta_state.write.mode("overwrite").parquet(os.path.join(self.path, delta_dir))
         # metrics resolve after the write (see _lazy)
         wm = _lazy(watermark) if watermark is not None else changes.agg(F.max("ts")).collect()[0][0]
-        m["version"] = version
-        m["deltas"].append(delta_dir)
-        m["key_cols"] = list(self.key_cols)
-        m["epochs"][str(epoch_id)] = version
-        m["commits"].append(
-            {
-                "version": version,
-                "epoch_id": epoch_id,
-                "op": "merge-delta",
-                "wall_s": round(time.time() - t0, 3),
-                "watermark": str(wm),
-                "files": _file_stats(os.path.join(self.path, delta_dir)),
-                **{k: _lazy(v) for k, v in (extra or {}).items()},
-            }
-        )
-        self._commit_manifest(m)
-        if len(m["deltas"]) >= self.compact_every:
-            self.compact()
+        files = _file_stats(os.path.join(self.path, delta_dir))
+        with self._mlock:
+            # re-read: the background fold may have swapped the base
+            # since this method's entry snapshot of the manifest
+            m2 = self._read_manifest()
+            version = m2["version"] + 1
+            m2["version"] = version
+            m2["deltas"].append(delta_dir)
+            m2["key_cols"] = list(self.key_cols)
+            m2["epochs"][str(epoch_id)] = version
+            m2["commits"].append(
+                {
+                    "version": version,
+                    "epoch_id": epoch_id,
+                    "op": "merge-delta",
+                    "wall_s": round(time.time() - t0, 3),
+                    "watermark": str(wm),
+                    "files": files,
+                    **{k: _lazy(v) for k, v in (extra or {}).items()},
+                }
+            )
+            self._commit_manifest(m2)
+            n_deltas = len(m2["deltas"])
+        if n_deltas >= self.compact_every:
+            if self.compact_async:
+                self._spawn_compact()
+            else:
+                self.compact()
         return True
 
-    def _compact_bucketed(self, m: dict, version: int) -> str:
+    def _compact_bucketed(self, base_snap: str | None, folding: list[str], tag: str) -> str:
         """Incremental fold (see ``compact``): shuffle only the
         deltas, zip buckets task-locally in ARROW end to end.
 
@@ -645,13 +697,13 @@ class SnapshotTable:
         # 1. LWW-reduce across deltas (each delta is already one row
         #    per key) — the ONLY shuffle in the fold, O(deltas)
         parts = [
-            self.spark.read.parquet(os.path.join(self.path, d)) for d in m["deltas"]
+            self.spark.read.parquet(os.path.join(self.path, d)) for d in folding
         ]
         deltas = parts[0]
         for p in parts[1:]:
             deltas = deltas.unionByName(p, allowMissingColumns=True)
         winners = self._resolve(deltas)
-        win_dir = os.path.join(self.path, f"_compact_winners_{version:08d}")
+        win_dir = os.path.join(self.path, f"_compact_winners_{tag}")
         (
             winners.withColumn("_bucket", self._bucket_expr())
             .write.mode("overwrite")
@@ -659,7 +711,7 @@ class SnapshotTable:
             .parquet(win_dir)
         )
         base_dir = (
-            os.path.join(self.path, m["snapshot"]) if m["snapshot"] is not None else None
+            os.path.join(self.path, base_snap) if base_snap is not None else None
         )
         # target schema: base ∪ winners (winners may ADD COLUMNs)
         target = winners
@@ -742,8 +794,8 @@ class SnapshotTable:
                     )
                     yield from t.to_batches()
 
-        snap = f"v{version:08d}"
-        out = os.path.join(self.path, snap)
+        out_name = f"_compact_out_{tag}"
+        out = os.path.join(self.path, out_name)
         out_schema = T.StructType(
             list(target_schema.fields) + [T.StructField("_bucket", T.IntegerType(), False)]
         )
@@ -757,7 +809,7 @@ class SnapshotTable:
             .parquet(out)
         )
         shutil.rmtree(win_dir, ignore_errors=True)
-        return snap
+        return out_name
 
     def compact(self, strategy: str = "auto") -> None:
         """Fold base + deltas into a fresh base snapshot (Iceberg
@@ -793,18 +845,32 @@ class SnapshotTable:
         deltas — the steady state this sink targets — auto always
         picks bucketed.
         """
-        m = self._read_manifest()
-        if not m["deltas"]:
+        # join any in-flight background fold first: two concurrent
+        # folds over the same deltas would be wasted (idempotent but
+        # double) work
+        self.wait_for_compaction()
+        self._compact_once(strategy)
+
+    def _compact_once(self, strategy: str = "auto") -> None:
+        # freeze the fold's inputs; appends landing mid-fold stay out
+        with self._mlock:
+            m = self._read_manifest()
+            folding = list(m["deltas"])
+            base_at_start = m["snapshot"]
+        if not folding:
             return
         t0 = time.time()
-        # sweep winners dirs a crashed previous fold left behind (the
-        # manifest never references them, so they are pure leakage —
-        # at millions of compactions an unswept orphan per crash adds
-        # up); the current fold writes a fresh uniquely-versioned dir
+        # sweep dirs a crashed previous fold left behind (the manifest
+        # never references them, so they are pure leakage — at
+        # millions of compactions an unswept orphan per crash adds
+        # up); safe here: no other fold can be in flight (merge's
+        # spawn and compact() both serialize on the fold thread)
         for e in os.scandir(self.path):
-            if e.is_dir() and e.name.startswith("_compact_winners_"):
+            if e.is_dir() and (
+                e.name.startswith("_compact_winners_")
+                or e.name.startswith("_compact_out_")
+            ):
                 shutil.rmtree(e.path, ignore_errors=True)
-        version = m["version"] + 1
         if strategy == "auto":
             def _dir_bytes(sub: str) -> int:
                 d = os.path.join(self.path, sub)
@@ -813,17 +879,17 @@ class SnapshotTable:
                     total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
                 return total
 
-            base_b = _dir_bytes(m["snapshot"]) if m["snapshot"] is not None else 0
-            delta_b = sum(_dir_bytes(d) for d in m["deltas"])
+            base_b = _dir_bytes(base_at_start) if base_at_start is not None else 0
+            delta_b = sum(_dir_bytes(d) for d in folding)
             strategy = "bucketed" if base_b > 4 * delta_b else "global"
-        if strategy == "bucketed" and m["snapshot"] is not None:
+        if strategy == "bucketed" and base_at_start is not None:
             # a legacy flat base (pre-bucket-dir layout) carries no
             # trustworthy bucket identity — fold it globally once;
             # the rewrite emits bucket dirs and later folds go
             # incremental
             if not any(
                 e.is_dir() and e.name.startswith("_bucket=")
-                for e in os.scandir(os.path.join(self.path, m["snapshot"]))
+                for e in os.scandir(os.path.join(self.path, base_at_start))
             ):
                 strategy = "global"
             # rebucketing guard (ADVICE r4): the base was written with
@@ -837,27 +903,81 @@ class SnapshotTable:
             # later folds go incremental again.
             elif m["base_n_buckets"] != self.n_buckets:
                 strategy = "global"
+        tag = uuid.uuid4().hex[:8]
         if strategy == "bucketed":
-            snap = self._compact_bucketed(m, version)
+            out_name = self._compact_bucketed(base_at_start, folding, tag)
         else:
-            snap = self._write_snapshot(self.read_internal(), version)
-        old = list(m["deltas"])
-        m["version"] = version
-        m["snapshot"] = snap
-        m["deltas"] = []
-        m["key_cols"] = list(self.key_cols)
-        m["base_n_buckets"] = self.n_buckets
-        m["commits"].append(
-            {
-                "version": version,
-                "epoch_id": None,
-                "op": "compact",
-                "strategy": strategy,
-                "wall_s": round(time.time() - t0, 3),
-                "folded": len(old),
-            }
-        )
-        self._commit_manifest(m)
-        for d in old:
-            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
-        self._gc(keep=2)
+            out_name = f"_compact_out_{tag}"
+            self._write_snapshot(
+                self._read_parts(base_at_start, folding), dirname=out_name
+            )
+        # the swap: re-read the manifest (epoch appends may have
+        # landed mid-fold), publish the new base, drop ONLY the
+        # folded deltas, defer file deletion one fold cycle
+        with self._mlock:
+            m2 = self._read_manifest()
+            version = m2["version"] + 1
+            snap = f"v{version:08d}"
+            final = os.path.join(self.path, snap)
+            if os.path.isdir(final):  # crash leftover from a fold that
+                shutil.rmtree(final)  # renamed but never committed
+            os.rename(os.path.join(self.path, out_name), final)
+            # delete the PREVIOUS fold's trash now: any reader plan
+            # captured before that fold's swap has long finished; a
+            # plan captured before THIS swap may still run, so this
+            # fold's inputs only enter the trash list
+            for d in m2.get("trash", []):
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+            trash = folding + (
+                [base_at_start]
+                if base_at_start is not None and base_at_start != snap
+                else []
+            )
+            m2["version"] = version
+            m2["snapshot"] = snap
+            m2["deltas"] = [d for d in m2["deltas"] if d not in folding]
+            m2["trash"] = trash
+            m2["key_cols"] = list(self.key_cols)
+            m2["base_n_buckets"] = self.n_buckets
+            m2["commits"].append(
+                {
+                    "version": version,
+                    "epoch_id": None,
+                    "op": "compact",
+                    "strategy": strategy,
+                    "wall_s": round(time.time() - t0, 3),
+                    "folded": len(folding),
+                }
+            )
+            self._commit_manifest(m2)
+
+    # --- background compaction ---------------------------------------------
+    def _spawn_compact(self) -> None:
+        """Start a background fold unless one is already in flight."""
+        t = self._compact_thread
+        if t is not None and t.is_alive():
+            return
+        self._reraise_compact_failure()
+
+        def run() -> None:
+            try:
+                self._compact_once("auto")
+            except BaseException as e:  # surfaced by _reraise/wait
+                self._compact_exc = e
+
+        t = threading.Thread(target=run, name="snapshot-compact", daemon=True)
+        self._compact_thread = t
+        t.start()
+
+    def wait_for_compaction(self) -> None:
+        """Join an in-flight background fold and re-raise its failure
+        (tests and pipeline shutdown call this to quiesce)."""
+        t = self._compact_thread
+        if t is not None and t is not threading.current_thread():
+            t.join()
+        self._reraise_compact_failure()
+
+    def _reraise_compact_failure(self) -> None:
+        if self._compact_exc is not None:
+            exc, self._compact_exc = self._compact_exc, None
+            raise RuntimeError("background compaction failed") from exc

@@ -46,6 +46,7 @@ class CdcPipeline:
         use_pandas_cleaner: bool = False,
         max_files_per_trigger: int = 1,
         salt_buckets: int = 0,
+        reduce_strategy: str = "window",
         converge_sources: tuple[str, ...] | None = None,
         policies: dict[str, str] | None = None,
         resolve_keyless: bool = False,
@@ -56,7 +57,11 @@ class CdcPipeline:
         """``salt_buckets``: >0 enables the two-phase salted LWW
         reduction for hot conv_ids (north_rule skew handling — a
         conversation holding ~10% of 10^10 events would otherwise pin
-        one reducer task).
+        one reducer task). Measured (scripts/skew_probe.py): prefer
+        ``reduce_strategy="agg"`` — the map-side-combining ``max_by``
+        reduction bounds per-task work at any skew WITHOUT the salted
+        path's second shuffle; salting stays available for regimes
+        where one partition cannot even hold a hot key's raw rows.
 
         ``resolve_keyless``: events arriving with NULL conv_id are
         fuzzy-matched against the current table state (blocked
@@ -105,6 +110,7 @@ class CdcPipeline:
         self.use_pandas_cleaner = use_pandas_cleaner
         self.max_files_per_trigger = max_files_per_trigger
         self.salt_buckets = salt_buckets
+        self.reduce_strategy = reduce_strategy
         self.converge_sources = converge_sources
         self.policies = policies
         self.resolve_keyless = resolve_keyless
@@ -114,20 +120,20 @@ class CdcPipeline:
         self._keyless_blocking_resolved: str | None = None
         if keyless_blocking not in ("conjunctive", "single", "auto"):
             raise ValueError(f"keyless_blocking: {keyless_blocking!r}")
-        if keyless_index is not None and policies:
-            # the index featurizes each batch's LWW-winning text, but
-            # per-column COW policies (fill_empty / source-priority)
-            # can make the TABLE's final text differ from the LWW
-            # change's text — index features would silently drift
-            # from actual state and resolver accuracy would degrade.
-            # Rebuild-from-post-merge-state support would fix this;
-            # until then the combination is rejected loudly.
-            raise ValueError(
-                "keyless_index is incompatible with per-column merge "
-                "policies: the index tracks LWW-winning batch text, "
-                "which policies can override in the table state "
-                "(feature drift). Drop policies or keyless_index."
-            )
+        # keyless_index + per-column policies (round-4 VERDICT #6; was
+        # a blanket rejection): the index featurizes role+text, so a
+        # policy on any OTHER column (e.g. {"tool": "fill_empty"})
+        # cannot drift the features — the LWW-winning text IS the
+        # table's final text — and costs nothing extra. A policy ON
+        # text/role CAN make final state differ from the batch's LWW
+        # change (fill_empty keeping old text over a NULL update), so
+        # those trigger a per-epoch rebuild of the AFFECTED keys'
+        # features from post-merge state (see
+        # _post_merge_feature_source): exact, at the cost of one
+        # streamed pass over the table per epoch.
+        self._keyless_rebuild = bool(
+            keyless_index is not None and policies and ({"text", "role"} & set(policies))
+        )
         self.metrics: list[dict] = []
 
     def _converge(self, normalized: DataFrame) -> DataFrame:
@@ -148,6 +154,40 @@ class CdcPipeline:
         )
         return heads.join(fields, on=["conv_id", "turn_idx"], how="inner").select(
             "seq", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts", "source"
+        )
+
+    def _post_merge_feature_source(self, normalized: DataFrame) -> DataFrame:
+        """When merge policies touch text/role, the table's final
+        value for a key can differ from the batch's LWW change — so
+        the keyless index must be fed the POST-MERGE state of the
+        affected keys, not the batch text.
+
+        Shape at 10^10 rows: the batch's key heads broadcast; the
+        table streams ONCE through a broadcast-hash inner join (no
+        state shuffle — Spark can't size the post-aggregation heads,
+        hence the explicit hint); the two follow-up joins touch only
+        batch-sized frames. Keys absent from post-merge state were
+        tombstoned — they feed the index as deletes."""
+        from pyspark.sql import functions as F
+
+        from kahi_spark.operators.merge import latest_change_per_key
+
+        keys = ["conv_id", "turn_idx"]
+        heads = latest_change_per_key(normalized).select(*keys, "op", "seq", "ts")
+        state = self.table.read().select(
+            *keys, F.col("role").alias("_s_role"), F.col("text").alias("_s_text")
+        )
+        present = state.join(F.broadcast(heads.select(*keys)), on=keys, how="inner")
+        resolved = heads.join(present, on=keys, how="left")
+        return resolved.select(
+            *keys,
+            F.when(F.col("_s_text").isNull() & F.col("_s_role").isNull(), F.lit("delete"))
+            .otherwise(F.col("op"))
+            .alias("op"),
+            "seq",
+            F.col("_s_role").alias("role"),
+            F.col("_s_text").alias("text"),
+            "ts",
         )
 
     def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
@@ -195,7 +235,10 @@ class CdcPipeline:
             # (pre_reduced=True skips its own reduce) multiple rows
             # per real key
             reduced = latest_change_per_key(
-                batch, key_cols=self.table.key_cols, salt_buckets=self.salt_buckets
+                batch,
+                key_cols=self.table.key_cols,
+                salt_buckets=self.salt_buckets,
+                strategy=self.reduce_strategy,
             )
             normalized = normalize_events(
                 reduced, use_pandas_cleaner=self.use_pandas_cleaner
@@ -272,6 +315,7 @@ class CdcPipeline:
             normalized,
             epoch_id=epoch_id,
             salt_buckets=self.salt_buckets,
+            reduce_strategy=self.reduce_strategy,
             policies=self.policies,
             extra_metrics={"events": n},
             watermark=wm,
@@ -281,7 +325,12 @@ class CdcPipeline:
             # table's commit and the index's commit heals here — the
             # index has its own epoch ledger, so a replayed update is
             # exactly-once (returns False) rather than re-applied
-            self.keyless_index.update(normalized, epoch_id)
+            src = (
+                self._post_merge_feature_source(normalized)
+                if self._keyless_rebuild
+                else normalized
+            )
+            self.keyless_index.update(src, epoch_id)
         wall = time.time() - t0
         # in-memory mirror of the durable per-commit metrics the sink
         # manifest records (events, watermark, wall) — SURVEY.md §4.5
@@ -320,6 +369,9 @@ class CdcPipeline:
         q.awaitTermination(timeout_s)
         if q.isActive:
             q.stop()
+        # quiesce: join a background compaction fold (and surface its
+        # failure) before handing the table back
+        self.table.wait_for_compaction()
         return self.metrics
 
     def run_continuous(
@@ -349,4 +401,5 @@ class CdcPipeline:
             q.awaitTermination(timeout_s)
             if q.isActive:
                 q.stop()
+        self.table.wait_for_compaction()
         return self.metrics

@@ -33,10 +33,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 HOT_TURNS = 1
-SALTS = (0, 16)
+KINDS = ("salt0", "salt16", "agg")
 
 
-def _measure_reduce(salt: int, event_path: str, cpus: int) -> dict:
+def _measure_reduce(kind: str, event_path: str, cpus: int) -> dict:
     import bench
 
     spark = bench.fresh_session(f"local[{cpus}]", cpus)
@@ -46,8 +46,13 @@ def _measure_reduce(salt: int, event_path: str, cpus: int) -> dict:
 
     ev = spark.read.parquet(event_path)
 
+    def reduced():
+        if kind == "agg":
+            return latest_change_per_key(ev, strategy="agg")
+        return latest_change_per_key(ev, salt_buckets=int(kind[4:]))
+
     def job():
-        red = latest_change_per_key(ev, salt_buckets=salt)
+        red = reduced()
         return red.agg(
             F.count(F.lit(1)).alias("rows"),
             F.bit_xor(F.xxhash64(*[F.col(c) for c in red.columns])).alias("chk"),
@@ -111,42 +116,52 @@ def main() -> None:
     skew_path = bench.cached_events(n_events, 128, "skew", hot_turns=HOT_TURNS)
     uniform_path = bench.cached_events(n_events, 128, "scaling")
 
-    walls: dict[int, list[float]] = {s: [] for s in SALTS}
-    meta: dict[int, dict] = {}
-    # interleaved rounds (salt0, salt16, salt0, salt16): VM CPU-steal
-    # comes in windows — both configs must see the same windows
-    for _rep in range(2):
-        for salt in SALTS:
-            res = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--measure",
-                 str(salt), skew_path, str(cpus)],
-                capture_output=True, text=True, check=True,
-            )
-            rec = json.loads(res.stdout.strip().splitlines()[-1])
-            walls[salt].append(rec["wall_s"])
-            meta[salt] = rec
-    assert meta[0]["rows"] == meta[16]["rows"], (meta[0], meta[16])
-    assert meta[0]["chk"] == meta[16]["chk"], "salted reduce changed values"
-
-    read_n = min(n_events, 8_000_000)
-    out = {
+    out: dict = {
         "events": n_events,
         "hot_turns": HOT_TURNS,
         "hot_key_share": 0.10,
         "cpus": cpus,
-        "reduce_salt0": {"wall_s": min(walls[0]), "all_wall_s": walls[0]},
-        "reduce_salt16": {"wall_s": min(walls[16]), "all_wall_s": walls[16]},
-        "salting_speedup": round(min(walls[0]) / min(walls[16]), 3),
-        "parity": True,
-        "mor_read_skewed": _measure_mor_read(skew_path, cpus, read_n, "skew"),
-        "mor_read_uniform": _measure_mor_read(uniform_path, cpus, read_n, "uni"),
     }
+    # phase gates so each phase fits a bounded shell timeout
+    if os.environ.get("KAHI_SKEW_ONLY_MOR") != "1":
+        walls: dict[str, list[float]] = {k: [] for k in KINDS}
+        meta: dict[str, dict] = {}
+        # interleaved rounds (salt0, salt16, agg, salt0, …): VM
+        # CPU-steal comes in windows — all configs must see the same
+        for _rep in range(int(os.environ.get("KAHI_SKEW_REPS", "2"))):
+            for kind in KINDS:
+                res = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--measure",
+                     kind, skew_path, str(cpus)],
+                    capture_output=True, text=True, check=True,
+                )
+                rec = json.loads(res.stdout.strip().splitlines()[-1])
+                walls[kind].append(rec["wall_s"])
+                meta[kind] = rec
+        # salted reduce must be value-identical (same column order →
+        # same checksum); the agg strategy reorders nothing either
+        assert meta["salt0"]["rows"] == meta["salt16"]["rows"] == meta["agg"]["rows"]
+        assert meta["salt0"]["chk"] == meta["salt16"]["chk"], "salting changed values"
+        assert meta["salt0"]["chk"] == meta["agg"]["chk"], "agg strategy changed values"
+        for kind in KINDS:
+            out[f"reduce_{kind}"] = {
+                "wall_s": min(walls[kind]), "all_wall_s": walls[kind]
+            }
+        out["salting_speedup"] = round(
+            min(walls["salt0"]) / min(walls["salt16"]), 3
+        )
+        out["agg_speedup"] = round(min(walls["salt0"]) / min(walls["agg"]), 3)
+        out["parity"] = True
+    if os.environ.get("KAHI_SKEW_SKIP_MOR") != "1":
+        read_n = min(n_events, 8_000_000)
+        out["mor_read_skewed"] = _measure_mor_read(skew_path, cpus, read_n, "skew")
+        out["mor_read_uniform"] = _measure_mor_read(uniform_path, cpus, read_n, "uni")
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--measure":
-        _, _, salt, path, cpus = sys.argv
-        print(json.dumps(_measure_reduce(int(salt), path, int(cpus))))
+        _, _, kind, path, cpus = sys.argv
+        print(json.dumps(_measure_reduce(kind, path, int(cpus))))
     else:
         main()

@@ -155,3 +155,100 @@ def test_pipeline_with_keyless_index_end_to_end(spark, tmp_path):
     assert results["indexed"] == results["recompute"]
     assert results["indexed"][("c1", 0)] == "alpha beta gamma delta epsilon zetas"
     assert results["indexed"][("u3", 7)] == "totally new content words"
+
+
+def test_pipeline_keyless_index_with_policies_rebuilds_features(spark, tmp_path):
+    """VERDICT r4 #6: keyless_index + per-column policies no longer
+    rejected. A fill_empty(text) policy keeps OLD state text over a
+    NULL update — the index must track the post-merge state (rebuilt
+    per epoch for affected keys), so a later keyless probe matching
+    the KEPT text still resolves to the right conversation; and the
+    index features must equal re-featurizing the live table."""
+    from kahi_spark.sinks.snapshot import SnapshotTable
+    from kahi_spark.streaming.pipeline import CdcPipeline
+
+    def write_batch(d, name, rows):
+        df = pd.DataFrame(
+            rows,
+            columns=["seq", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts", "source"],
+        )
+        df["conv_id"] = pd.array(df["conv_id"], dtype="string")
+        df["text"] = pd.array(df["text"], dtype="string")
+        df["turn_idx"] = df["turn_idx"].astype("int32")
+        df["tool"] = pd.array(df["tool"], dtype="string")
+        df["ts"] = pd.to_datetime(df["ts"], unit="s").astype("datetime64[us]")
+        df.to_parquet(os.path.join(d, name), index=False)
+
+    t0 = 1_704_067_200
+    d = str(tmp_path / "ev")
+    os.makedirs(d)
+    table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=2)
+    kidx = KeylessFeatureIndex(spark, str(tmp_path / "kidx"))
+    write_batch(d, "b0.parquet", [
+        (0, "insert", "c1", 0, "USER", "alpha beta gamma delta epsilon zeta", None, t0, "lens"),
+        (1, "insert", "c2", 0, "ai", "eta theta iota kappa lambda mu", None, t0 + 10, "lens"),
+    ])
+    pipe = CdcPipeline(
+        spark, d, table, str(tmp_path / "ck"),
+        resolve_keyless=True, keyless_index=kidx,
+        policies={"text": "fill_empty"},
+    )
+    pipe.run_until_idle(timeout_s=120)
+    # NULL-text update: fill_empty keeps the old text in STATE
+    write_batch(d, "b1.parquet", [
+        (2, "update", "c1", 0, "USER", None, None, t0 + 100, "wos"),
+    ])
+    pipe.run_until_idle(timeout_s=120)
+    assert table.read().filter(
+        (F.col("conv_id") == "c1") & (F.col("turn_idx") == 0)
+    ).collect()[0].text.startswith("alpha beta")
+    # keyless near-dup of the KEPT text must adopt c1 (an LWW-naive
+    # index would have indexed the NULL text and minted a surrogate)
+    write_batch(d, "b2.parquet", [
+        (3, "update", None, 0, "human", "alpha beta gamma delta epsilon zetas", None, t0 + 200, "wos"),
+    ])
+    pipe.run_until_idle(timeout_s=120)
+    # adoption is visible structurally: the probe UPDATEs (c1, 0) —
+    # whose text fill_empty keeps — so NO new surrogate row may
+    # appear. (An LWW-naive index would have featurized the NULL
+    # text, failed the match, and minted a u* key whose inserted row
+    # WOULD carry the zetas text.)
+    rows0 = table.read().filter(F.col("turn_idx") == 0).collect()
+    assert sorted(r.conv_id for r in rows0) == ["c1", "c2"], rows0
+    assert not any("zetas" in (r.text or "") for r in rows0), rows0
+    # index features == re-featurized live state, bit for bit
+    state = table.read().select("conv_id", "turn_idx", "role", "text", "ts")
+    src = state.withColumn("op", F.lit("insert")).withColumn(
+        "seq", F.lit(0).cast("long")
+    )
+    cols = ["conv_id", "turn_idx", "role", "_ft", *[f"_m{i}" for i in range(N_SLOTS)], "_lb"]
+    want = sorted(
+        tuple(r) for r in _with_features(
+            src.select("conv_id", "turn_idx", "op", "seq", "role", "text", "ts")
+        ).select(*cols).collect()
+    )
+    have = sorted(tuple(r) for r in kidx.features().select(*cols).collect())
+    assert have == want
+
+
+def test_pipeline_keyless_index_with_nonfeature_policy_is_free(spark, tmp_path):
+    """A policy on a NON-feature column (tool) takes the zero-cost
+    path: no rebuild, features still exact."""
+    from kahi_spark.streaming.pipeline import CdcPipeline
+
+    pipe = CdcPipeline.__new__(CdcPipeline)  # only checking the flag logic
+    CdcPipeline.__init__(
+        pipe, spark, "/tmp/none", None, "/tmp/none-ck",
+        resolve_keyless=True,
+        keyless_index=KeylessFeatureIndex(spark, str(tmp_path / "k")),
+        policies={"tool": "fill_empty"},
+    )
+    assert pipe._keyless_rebuild is False
+    pipe2 = CdcPipeline.__new__(CdcPipeline)
+    CdcPipeline.__init__(
+        pipe2, spark, "/tmp/none", None, "/tmp/none-ck",
+        resolve_keyless=True,
+        keyless_index=KeylessFeatureIndex(spark, str(tmp_path / "k2")),
+        policies={"text": "fill_empty"},
+    )
+    assert pipe2._keyless_rebuild is True

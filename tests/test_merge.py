@@ -98,6 +98,13 @@ def test_salted_reduction_equivalent_under_genuine_hot_key(spark):
         for r in latest_change_per_key(df, salt_buckets=16).collect()
     }
     assert plain == salted
+    # the map-side-combining max_by strategy (the bounded-per-task
+    # skew shape) must agree too, including column order
+    agg = latest_change_per_key(df, strategy="agg")
+    assert agg.columns == df.columns
+    assert plain == {
+        (r.conv_id, r.turn_idx): (r.op, r.text, r.seq) for r in agg.collect()
+    }
 
 
 def test_priority_merge_converges_multisource(spark):

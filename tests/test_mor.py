@@ -165,3 +165,51 @@ def test_bucketed_fold_preserves_big_int64_with_nulls(spark, tmp_path):
     t.compact(strategy="bucketed")
     got = {r.conv_id: r.fp for r in t.read().collect()}
     assert got == {"c1": None, "c2": big, "c3": None}
+
+
+def test_async_compaction_parity_and_overlap(spark, tmp_path):
+    """compact_async=True: the fold runs in a background thread while
+    later epochs append (VERDICT r4 #2). Final state must equal the
+    synchronous table's; folded dirs are trash-deferred one cycle so
+    in-flight reader plans never lose files."""
+    pdf = make_events(6000, n_convs=30, seed=44)
+    df = spark.createDataFrame(pdf)
+    sync = SnapshotTable(spark, str(tmp_path / "sy"), n_buckets=4, mode="mor", compact_every=3)
+    asyn = SnapshotTable(
+        spark, str(tmp_path / "as"), n_buckets=4, mode="mor", compact_every=3,
+        compact_async=True,
+    )
+    per = 500
+    for e in range(12):
+        batch = df.filter((F.col("seq") >= e * per) & (F.col("seq") < (e + 1) * per))
+        sync.merge(batch, epoch_id=e)
+        asyn.merge(batch, epoch_id=e)
+    asyn.wait_for_compaction()
+    assert sorted_state(sync) == sorted_state(asyn)
+    # folds actually ran in the async table
+    assert any(c["op"] == "compact" for c in asyn.history())
+    # deltas stay bounded (folded sets leave the manifest)
+    assert len(asyn._read_manifest()["deltas"]) < 12
+    # replay exactly-once still holds after background folds
+    assert asyn.merge(df.limit(1), epoch_id=3) is False
+
+
+def test_async_compaction_failure_surfaces(spark, tmp_path):
+    t = SnapshotTable(
+        spark, str(tmp_path / "fx"), n_buckets=2, mode="mor", compact_every=1,
+        compact_async=True,
+    )
+
+    def boom(strategy="auto"):
+        raise RuntimeError("fold exploded")
+
+    t._compact_once = boom
+    t.merge(spark.createDataFrame([ev(0, "insert", "c1", 0, "a", 0)], EVENT_SCHEMA), epoch_id=0)
+    t._compact_thread.join()
+    import pytest
+
+    with pytest.raises(RuntimeError, match="background compaction failed"):
+        t.merge(
+            spark.createDataFrame([ev(1, "insert", "c1", 1, "b", 1)], EVENT_SCHEMA),
+            epoch_id=1,
+        )
