@@ -35,7 +35,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--mode", choices=["cow", "mor"], default="mor")
     p.add_argument("--n-buckets", type=int, default=256)
     p.add_argument("--salt-buckets", type=int, default=0, help="hot-key salting fanout")
+    p.add_argument(
+        "--reduce-strategy", choices=["window", "agg"], default="window",
+        help="LWW reduction: 'agg' = map-side-combining max_by — "
+        "bounded per-task work under hot-key skew (skew_probe.py)",
+    )
     p.add_argument("--compact-every", type=int, default=8)
+    p.add_argument(
+        "--compact-async", action="store_true",
+        help="fold MOR deltas in a background thread (epoch N+1 "
+        "appends while [0..k) folds) instead of blocking the epoch",
+    )
     p.add_argument("--max-files-per-trigger", type=int, default=64)
     p.add_argument("--continuous", action="store_true", help="stay up (processing-time trigger)")
     p.add_argument(
@@ -59,6 +69,7 @@ def main(argv: list[str] | None = None) -> int:
         n_buckets=args.n_buckets,
         mode=args.mode,
         compact_every=args.compact_every,
+        compact_async=args.compact_async,
     )
     pipe = CdcPipeline(
         spark,
@@ -67,6 +78,7 @@ def main(argv: list[str] | None = None) -> int:
         args.checkpoint,
         max_files_per_trigger=args.max_files_per_trigger,
         salt_buckets=args.salt_buckets,
+        reduce_strategy=args.reduce_strategy,
     )
     if args.continuous:
         pipe.run_continuous(timeout_s=args.timeout_s)  # None = run forever

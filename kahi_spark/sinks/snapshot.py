@@ -151,6 +151,7 @@ class SnapshotTable:
         mode: str = "cow",
         compact_every: int = 8,
         compact_async: bool = False,
+        compact_strategy: str = "auto",
     ) -> None:
         """``mode``:
 
@@ -185,6 +186,7 @@ class SnapshotTable:
         self.mode = mode
         self.compact_every = compact_every
         self.compact_async = compact_async
+        self.compact_strategy = compact_strategy  # used by auto-triggered folds
         #: guards every manifest read-modify-write (epoch appends vs
         #: the background fold's final swap run on different threads)
         self._mlock = threading.RLock()
@@ -669,7 +671,7 @@ class SnapshotTable:
             if self.compact_async:
                 self._spawn_compact()
             else:
-                self.compact()
+                self.compact(self.compact_strategy)
         return True
 
     def _compact_bucketed(self, base_snap: str | None, folding: list[str], tag: str) -> str:
@@ -961,7 +963,7 @@ class SnapshotTable:
 
         def run() -> None:
             try:
-                self._compact_once("auto")
+                self._compact_once(self.compact_strategy)
             except BaseException as e:  # surfaced by _reraise/wait
                 self._compact_exc = e
 

@@ -117,6 +117,7 @@ class CdcPipeline:
         self.dedup_index = dedup_index
         self.keyless_index = keyless_index
         self.keyless_blocking = keyless_blocking
+        self.last_quiesce_wait_s: float = 0.0
         self._keyless_blocking_resolved: str | None = None
         if keyless_blocking not in ("conjunctive", "single", "auto"):
             raise ValueError(f"keyless_blocking: {keyless_blocking!r}")
@@ -370,8 +371,12 @@ class CdcPipeline:
         if q.isActive:
             q.stop()
         # quiesce: join a background compaction fold (and surface its
-        # failure) before handing the table back
+        # failure) before handing the table back. The wait is timed:
+        # in a short run it is pure tail (nothing left to overlap),
+        # so throughput reports can amortize it honestly
+        t_w = time.time()
         self.table.wait_for_compaction()
+        self.last_quiesce_wait_s = round(time.time() - t_w, 3)
         return self.metrics
 
     def run_continuous(

@@ -3,12 +3,15 @@ into the MOR table (16 files per trigger, compact_every=4 → two
 mid-run compaction folds). Reports per-epoch and end-to-end ev/s —
 the amortized steady-state the 4M bench phase can't show.
 
-Usage: python scripts/soak_pipeline.py [n_events] [n_epochs] [cpus]
+Usage: python scripts/soak_pipeline.py [n_events] [n_epochs] [cpus] [sync|async]
 
 ``cpus`` overrides the parallelism level (default: bench.CPUS) — run
 at 8 and 32 for the SINK-INCLUSIVE two-cluster-size scaling evidence
 (the bench's `scaling` phase measures the compute job; this measures
 the full change-apply path including the MOR sink).
+
+``async`` enables overlapped background compaction (VERDICT r4 #2):
+the fold no longer blocks its triggering epoch.
 """
 
 from __future__ import annotations
@@ -32,6 +35,8 @@ def main() -> None:
     from kahi_spark.streaming.pipeline import CdcPipeline
 
     cpus = int(sys.argv[3]) if len(sys.argv) > 3 else bench.CPUS
+    compact_async = len(sys.argv) > 4 and sys.argv[4] == "async"
+    strategy = sys.argv[5] if len(sys.argv) > 5 else "auto"
     event_dir = bench.cached_events(n_events, n_epochs * files_per_epoch, "soak")
     warm_dir = bench.cached_events(40_000, 4, "pipewarm")
     tmp = "/tmp/kahi_soak"
@@ -48,7 +53,9 @@ def main() -> None:
     warm_table.read().count()
 
     table = SnapshotTable(
-        spark, os.path.join(tmp, "t"), n_buckets=cpus, mode="mor", compact_every=4
+        spark, os.path.join(tmp, "t"), n_buckets=cpus, mode="mor",
+        compact_every=int(os.environ.get("KAHI_SOAK_COMPACT_EVERY", "4")),
+        compact_async=compact_async, compact_strategy=strategy,
     )
     pipe = CdcPipeline(
         spark, event_dir, table, os.path.join(tmp, "ckpt"),
@@ -57,11 +64,17 @@ def main() -> None:
     t0 = time.time()
     pipe.run_until_idle(timeout_s=900)
     wall = time.time() - t0
+    steady = wall - pipe.last_quiesce_wait_s
     out = {
         "events": n_events,
         "epochs": n_epochs,
+        "compact_async": compact_async,
         "wall_s": round(wall, 1),
         "events_per_sec": round(n_events / wall, 1),
+        # the final fold-quiesce is pure tail in a short run (steady
+        # state overlaps it with later epochs) — report both
+        "quiesce_wait_s": pipe.last_quiesce_wait_s,
+        "steady_events_per_sec": round(n_events / steady, 1) if steady > 0 else None,
         "final_rows": table.read().count(),
         "per_epoch": [
             {"epoch": m["epoch_id"], "wall_s": m["wall_s"], "ev_s": m["events_per_sec"]}
