@@ -240,6 +240,17 @@ def resolve_keyless_events(
             F.col("text"),
         )
     )
+    # materialize the probe features ONCE. Two reasons, both measured
+    # (profile in BASELINE.md round 5): (a) the ±1-bucket × N_SLOTS
+    # explode below references _m*/_lb across 12 struct elements, and
+    # Catalyst's projection collapse re-evaluates the md5/shingle
+    # featurization per exploded element (~12× the one-shot cost —
+    # 4.0 s of the gate query's 4.9 s); (b) p is consumed twice
+    # (block rows + scoring re-join). Probes are batch-small BY
+    # DESIGN (the keyless fraction of one epoch), so the checkpoint
+    # is one tiny job; state-side features are consumed once and come
+    # from the persistent index at scale — never checkpointed here.
+    p = p.localCheckpoint(eager=True)
     # slim probe block rows, exploded to (lb offset × slot): the
     # equi-join hash-keys on ALL FOUR block columns; ±1 lb offsets
     # keep bucket-boundary recall, N_SLOTS rows give any-slot-matches
@@ -261,6 +272,15 @@ def resolve_keyless_events(
                 F.col("text"),
             )
         )
+        # recompute-per-batch mode only: materialize the state
+        # features once. The N_SLOTS explode below would otherwise
+        # re-evaluate the md5/shingle featurization per slot element
+        # (~4× — measured, BASELINE.md round 5). At 10^10 rows the
+        # features come precomputed from ``state_features`` (the
+        # persistent index) and this branch never runs — so the
+        # checkpoint is bounded by the small-deployment state size
+        # it is already re-featurizing per batch.
+        c = c.localCheckpoint(eager=True)
     if blocking == "auto":
         blocking = "single" if c.count() < SMALL_STATE_ROWS else "conjunctive"
     if blocking == "single":
