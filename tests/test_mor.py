@@ -139,9 +139,14 @@ def test_compact_sweeps_orphaned_winners_dirs(spark, tmp_path):
     t.merge(df, epoch_id=0)
     orphan = str(tmp_path / "t" / "_compact_winners_99999999")
     os.makedirs(orphan)
+    # a crash between the fold's temp-output write and the rename
+    # leaves a _compact_out_* dir — swept by the same pass
+    orphan_out = str(tmp_path / "t" / "_compact_out_deadbeef")
+    os.makedirs(orphan_out)
     before = sorted(t.read().orderBy("conv_id", "turn_idx").collect())
     t.compact(strategy="bucketed")
     assert not os.path.exists(orphan)
+    assert not os.path.exists(orphan_out)
     assert sorted(t.read().orderBy("conv_id", "turn_idx").collect()) == before
 
 
@@ -234,3 +239,21 @@ def test_fold_io_helpers_accept_uris(spark, tmp_path):
     # empty / missing URIs are harmless
     assert _bucket_parquet_files(None) == {}
     assert _bucket_parquet_files(_to_uri(str(tmp_path / "nope"))) == {}
+
+
+def test_compact_overwrites_crash_leftover_version_dir(spark, tmp_path):
+    """A crash AFTER the fold's rename but BEFORE the manifest commit
+    leaves an unreferenced v-dir at the version the next fold will
+    claim — the swap must replace it, not fail."""
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=2, mode="mor", compact_every=100)
+    t.merge(spark.createDataFrame([ev(0, "insert", "c1", 0, "a", 0)], EVENT_SCHEMA), epoch_id=0)
+    v = t._read_manifest()["version"]
+    leftover = str(tmp_path / "t" / f"v{v + 1:08d}")
+    os.makedirs(os.path.join(leftover, "_bucket=0"))
+    with open(os.path.join(leftover, "_bucket=0", "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    t.compact(strategy="global")
+    assert sorted_state(t) == [("c1", 0, "a")]
+    assert t._read_manifest()["snapshot"] == f"v{v + 1:08d}"
