@@ -67,10 +67,13 @@ _MANIFEST = "_manifest.json"
 
 def _to_uri(path: str) -> str:
     """Local paths become ``file://`` URIs; paths that already carry a
-    scheme (``s3://``, ``hdfs://`` …) pass through — every byte the
-    bucketed fold reads goes through ``pyarrow.fs.FileSystem.from_uri``
-    on this, so the same fold runs against a DFS by constructing the
-    table with a DFS path (VERDICT r4 #4)."""
+    scheme (``s3://``, ``hdfs://`` …) pass through. Every byte the
+    bucketed fold READS goes through ``pyarrow.fs.FileSystem.from_uri``
+    on this (VERDICT r4 #4) — the fold's DATA path is fs-portable.
+    The table's METADATA layer (manifest JSON, dir renames, sweeps,
+    ``os.makedirs``) is still local-filesystem; a full DFS-resident
+    table needs that layer ported to pyarrow.fs too, which is why
+    ``SnapshotTable`` itself still takes a local path."""
     return path if "://" in path else "file://" + os.path.abspath(path)
 
 
@@ -190,6 +193,11 @@ class SnapshotTable:
         #: guards every manifest read-modify-write (epoch appends vs
         #: the background fold's final swap run on different threads)
         self._mlock = threading.RLock()
+        #: serializes FOLDS themselves — a synchronous compact() from
+        #: a maintenance thread and a merge-triggered background fold
+        #: must never run concurrently (each sweeps the other's
+        #: in-progress temp dirs)
+        self._fold_lock = threading.Lock()
         self._compact_thread: threading.Thread | None = None
         self._compact_exc: BaseException | None = None
         os.makedirs(path, exist_ok=True)
@@ -288,6 +296,14 @@ class SnapshotTable:
         survive GC; deltas newer than it are not applied."""
         if version is not None:
             snap = f"v{version:08d}"
+            # a v-dir on disk is NOT proof of a committed snapshot: a
+            # fold that crashed between its rename and its manifest
+            # commit leaves a never-committed dir — serve only
+            # versions the commit log records as snapshot-producing
+            if version not in self._snapshot_versions():
+                raise FileNotFoundError(
+                    f"version {version} was never committed as a base snapshot"
+                )
             if not os.path.isdir(os.path.join(self.path, snap)):
                 raise FileNotFoundError(
                     f"version {version} expired or never was a base snapshot"
@@ -327,14 +343,22 @@ class SnapshotTable:
                 F.lit(v).cast(base.schema[k].dataType)
                 for k, v in zip(self.key_cols, key_values)
             ]
-            modulus = m["base_n_buckets"] or self.n_buckets
-            bucket = F.pmod(F.hash(*lits), F.lit(modulus))
             key_pred = None
             for k, lv in zip(self.key_cols, lits):
                 p = F.col(k) == lv
                 key_pred = p if key_pred is None else (key_pred & p)
             if "_bucket" in base.columns:
-                base = base.filter(F.col("_bucket") == bucket).drop("_bucket")
+                modulus = m["base_n_buckets"]
+                if modulus is not None:
+                    bucket = F.pmod(F.hash(*lits), F.lit(modulus))
+                    base = base.filter(F.col("_bucket") == bucket)
+                # modulus None (manifest predates recording): the
+                # dirs' modulus is unprovable — guessing this
+                # handle's n_buckets could prune the WRONG directory
+                # and silently drop a live key, so skip pruning and
+                # scan all buckets (correct, just unpruned) until the
+                # next fold records the modulus
+                base = base.drop("_bucket")
             parts.append(base.filter(key_pred))
         else:
             key_pred = None
@@ -406,6 +430,14 @@ class SnapshotTable:
 
     def _epoch_committed(self, m: dict, epoch_id: int) -> bool:
         return epoch_id <= m["epoch_floor"] or str(epoch_id) in m["epochs"]
+
+    def _snapshot_versions(self) -> set[int]:
+        """Versions whose commit produced a BASE snapshot dir (init /
+        COW merge / compact) — the only legitimate time-travel
+        targets and the only v-dirs that may live on disk."""
+        return {
+            c["version"] for c in self.history() if c["op"] != "merge-delta"
+        }
 
     def history(self) -> list[dict]:
         """Full commit log: lineage, watermarks, metrics per commit —
@@ -631,11 +663,15 @@ class SnapshotTable:
         self._reraise_compact_failure()
         t0 = time.time()
         delta_state = state_from_reduced(reduced, key_cols=self.key_cols)
-        # dir name from the entry-time version, disambiguated: the
-        # background fold may commit (and bump the version) while this
-        # delta is being written, so the name is a LABEL — the
-        # manifest list is the source of truth
-        delta_dir = f"d{m['version'] + 1:08d}-{uuid.uuid4().hex[:6]}"
+        # DETERMINISTIC label from the entry-time version — on a
+        # crashed-then-replayed epoch the retry computes the SAME name
+        # and mode("overwrite") self-heals the partial dir (a random
+        # suffix would leak one orphan per crash, forever). The name
+        # is a label, not the committed version: a background fold may
+        # bump the version mid-write, but versions are monotone and
+        # folds write v-dirs, so no later artifact can collide with a
+        # d-prefixed name.
+        delta_dir = f"d{m['version'] + 1:08d}"
         # NO repartition: latest_change_per_key's window already left
         # the rows hash-partitioned on the key — an explicit
         # repartition here would be a redundant second shuffle (file
@@ -690,12 +726,12 @@ class SnapshotTable:
         (The previous pandas fold silently converted int64-with-null
         columns to float64, corrupting 64-bit values above 2^53 —
         ADVICE r4; the only pandas use left is a ``duplicated`` mask
-        over the KEY columns, which are string/int32.)  All file IO
-        goes through ``pyarrow.fs.FileSystem.from_uri`` (listing AND
-        reads), so the fold is cluster-portable: a table constructed
-        with an ``s3://``/``hdfs://`` path reads the same way — the
-        Iceberg equivalent is a bucket-partition-spec
-        rewrite_data_files."""
+        over the KEY columns, which are string/int32.)  All fold file
+        IO goes through ``pyarrow.fs.FileSystem.from_uri`` (listing
+        AND reads) — the data path a DFS deployment needs; the
+        manifest/rename metadata layer remains local-filesystem (see
+        ``_to_uri``). The Iceberg equivalent is a
+        bucket-partition-spec rewrite_data_files."""
         # 1. LWW-reduce across deltas (each delta is already one row
         #    per key) — the ONLY shuffle in the fold, O(deltas)
         parts = [
@@ -854,6 +890,10 @@ class SnapshotTable:
         self._compact_once(strategy)
 
     def _compact_once(self, strategy: str = "auto") -> None:
+        with self._fold_lock:  # at most ONE fold at a time
+            self._compact_locked_body(strategy)
+
+    def _compact_locked_body(self, strategy: str) -> None:
         # freeze the fold's inputs; appends landing mid-fold stay out
         with self._mlock:
             m = self._read_manifest()
@@ -865,12 +905,27 @@ class SnapshotTable:
         # sweep dirs a crashed previous fold left behind (the manifest
         # never references them, so they are pure leakage — at
         # millions of compactions an unswept orphan per crash adds
-        # up); safe here: no other fold can be in flight (merge's
-        # spawn and compact() both serialize on the fold thread)
+        # up); safe here: _fold_lock guarantees no other fold is in
+        # flight, so any temp dir found is a crash leftover. Also
+        # swept: v-dirs the commit log never recorded (a fold that
+        # crashed between its rename and its manifest commit) — they
+        # would otherwise leak forever and could shadow a future
+        # version number.
+        legit = self._snapshot_versions()
+        trash_now = set(m.get("trash", []))
         for e in os.scandir(self.path):
-            if e.is_dir() and (
-                e.name.startswith("_compact_winners_")
-                or e.name.startswith("_compact_out_")
+            if not e.is_dir():
+                continue
+            if e.name.startswith("_compact_winners_") or e.name.startswith(
+                "_compact_out_"
+            ):
+                shutil.rmtree(e.path, ignore_errors=True)
+            elif (
+                e.name.startswith("v")
+                and e.name[1:].isdigit()
+                and int(e.name[1:]) not in legit
+                and e.name not in trash_now
+                and e.name != base_at_start
             ):
                 shutil.rmtree(e.path, ignore_errors=True)
         if strategy == "auto":
@@ -955,9 +1010,11 @@ class SnapshotTable:
 
     # --- background compaction ---------------------------------------------
     def _spawn_compact(self) -> None:
-        """Start a background fold unless one is already in flight."""
+        """Start a background fold unless one is already in flight —
+        including a SYNCHRONOUS compact() running on another thread
+        (the fold lock, not just the thread handle, is the truth)."""
         t = self._compact_thread
-        if t is not None and t.is_alive():
+        if (t is not None and t.is_alive()) or self._fold_lock.locked():
             return
         self._reraise_compact_failure()
 

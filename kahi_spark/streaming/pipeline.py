@@ -178,11 +178,16 @@ class CdcPipeline:
         state = self.table.read().select(
             *keys, F.col("role").alias("_s_role"), F.col("text").alias("_s_text")
         )
-        present = state.join(F.broadcast(heads.select(*keys)), on=keys, how="inner")
+        present = state.join(
+            F.broadcast(heads.select(*keys)), on=keys, how="inner"
+        ).withColumn("_in_state", F.lit(True))
         resolved = heads.join(present, on=keys, how="left")
+        # explicit presence marker: a LIVE row whose text AND role are
+        # both NULL must not be mistaken for an absent (tombstoned)
+        # key — only join-miss rows become index deletes
         return resolved.select(
             *keys,
-            F.when(F.col("_s_text").isNull() & F.col("_s_role").isNull(), F.lit("delete"))
+            F.when(F.col("_in_state").isNull(), F.lit("delete"))
             .otherwise(F.col("op"))
             .alias("op"),
             "seq",

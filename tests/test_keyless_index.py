@@ -252,3 +252,47 @@ def test_pipeline_keyless_index_with_nonfeature_policy_is_free(spark, tmp_path):
         policies={"text": "fill_empty"},
     )
     assert pipe2._keyless_rebuild is True
+
+
+def test_rebuild_source_keeps_live_null_feature_rows(spark, tmp_path):
+    """Code-review r5: a LIVE state row whose text AND role are both
+    NULL must not be classified as a tombstone by the post-merge
+    feature rebuild — only keys ABSENT from state become deletes."""
+    import datetime as _dt
+
+    from kahi_spark.sinks.snapshot import SnapshotTable
+    from kahi_spark.streaming.pipeline import CdcPipeline
+
+    table = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=2)
+    base = spark.createDataFrame(
+        [
+            (0, "insert", "cA", 0, None, None, None, _dt.datetime(2024, 1, 1), "lens"),
+            (1, "insert", "cB", 0, "user", "hello world", None, _dt.datetime(2024, 1, 1, 0, 1), "lens"),
+        ],
+        "seq long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp, source string",
+    )
+    table.merge(base, epoch_id=0)
+    # a tombstone for cB so the rebuild sees one genuinely absent key
+    table.merge(
+        spark.createDataFrame(
+            [(2, "delete", "cB", 0, "user", None, None, _dt.datetime(2024, 1, 2), "lens")],
+            base.schema,
+        ),
+        epoch_id=1,
+    )
+    pipe = CdcPipeline.__new__(CdcPipeline)
+    pipe.table = table
+    batch = spark.createDataFrame(
+        [
+            (3, "update", "cA", 0, None, None, None, _dt.datetime(2024, 1, 3), "wos"),
+            (4, "update", "cB", 0, "user", "zzz", None, _dt.datetime(2024, 1, 3, 0, 1), "wos"),
+        ],
+        base.schema,
+    )
+    src = {r.conv_id: r.op for r in pipe._post_merge_feature_source(batch).collect()}
+    # cA is LIVE with NULL text+role -> must keep its op; cB was
+    # tombstoned before this batch's (older-merge-order) update ->
+    # absent from state -> delete
+    assert src["cA"] == "update"
+    assert src["cB"] == "delete"

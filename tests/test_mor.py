@@ -257,3 +257,71 @@ def test_compact_overwrites_crash_leftover_version_dir(spark, tmp_path):
     t.compact(strategy="global")
     assert sorted_state(t) == [("c1", 0, "a")]
     assert t._read_manifest()["snapshot"] == f"v{v + 1:08d}"
+
+
+def test_lookup_skips_pruning_when_modulus_unrecorded(spark, tmp_path):
+    """Code-review r5: a legacy manifest (no base_n_buckets) with
+    bucket dirs must NOT prune with the handle's n_buckets guess —
+    skip pruning (correct, unpruned) until a fold records the
+    modulus."""
+    import json
+    import os
+
+    pdf = make_events(800, n_convs=8, seed=12)
+    t = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4, mode="mor", compact_every=100)
+    t.merge(spark.createDataFrame(pdf), epoch_id=0)
+    t.compact(strategy="bucketed")
+    key_row = t.read().limit(1).collect()[0]
+    # simulate a pre-round-5 manifest: erase the recorded modulus
+    mp = os.path.join(str(tmp_path / "t"), "_manifest.json")
+    with open(mp) as f:
+        m = json.load(f)
+    m["base_n_buckets"] = None
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    # reopen with a DIFFERENT n_buckets: a modulus guess would prune
+    # the wrong _bucket dir and return empty
+    t2 = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=16, mode="mor", compact_every=100)
+    got = t2.lookup(key_row.conv_id, key_row.turn_idx).collect()
+    assert len(got) == 1 and got[0].text == key_row.text
+
+
+def test_time_travel_rejects_uncommitted_version_dir(spark, tmp_path):
+    """Code-review r5: a fold that crashed between rename and
+    manifest commit leaves a v-dir the commit log never recorded —
+    read(version=...) must refuse it, and the next fold sweeps it."""
+    import os
+
+    import pytest
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=2, mode="mor", compact_every=100)
+    t.merge(spark.createDataFrame([ev(0, "insert", "c1", 0, "a", 0)], EVENT_SCHEMA), epoch_id=0)
+    v = t._read_manifest()["version"]
+    ghost = v + 1
+    ghost_dir = str(tmp_path / "t" / f"v{ghost:08d}")
+    os.makedirs(os.path.join(ghost_dir, "_bucket=0"))
+    with pytest.raises(FileNotFoundError, match="never committed"):
+        t.read(version=ghost)
+    # delta appends bump the version past the ghost; the next fold
+    # must sweep the never-committed dir rather than serve or trip on it
+    t.merge(spark.createDataFrame([ev(1, "insert", "c2", 0, "b", 1)], EVENT_SCHEMA), epoch_id=1)
+    t.compact(strategy="global")
+    assert not os.path.exists(ghost_dir)
+    assert sorted_state(t) == [("c1", 0, "a"), ("c2", 0, "b")]
+
+
+def test_crashed_delta_write_self_heals_on_replay(spark, tmp_path):
+    """Code-review r5: a delta write that crashed pre-commit leaves a
+    partial dir under a DETERMINISTIC label; the epoch's re-delivery
+    recomputes the same label and overwrites it (no orphan leak)."""
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=2, mode="mor", compact_every=100)
+    v = t._read_manifest()["version"]
+    stale = str(tmp_path / "t" / f"d{v + 1:08d}")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-junk.parquet"), "w") as f:
+        f.write("partial")
+    t.merge(spark.createDataFrame([ev(0, "insert", "c1", 0, "a", 0)], EVENT_SCHEMA), epoch_id=0)
+    assert sorted_state(t) == [("c1", 0, "a")]
+    assert not os.path.exists(os.path.join(stale, "part-junk.parquet"))
