@@ -60,10 +60,15 @@ class KeylessFeatureIndex:
         path: str,
         compact_every: int = 8,
         n_buckets: int = 16,
+        compact_async: bool = False,
     ) -> None:
         """``compact_every``: fold the MOR deltas into a base once
         this many accumulate — bounds the read-side latest-per-key
-        window's input (the backing table's own cadence contract)."""
+        window's input (the backing table's own cadence contract).
+        ``compact_async``: run that fold in the backing table's
+        background thread (same machinery, tests and guarantees as
+        the main table's overlapped compaction) so index maintenance
+        stops blocking the triggering epoch."""
         from kahi_spark.sinks.snapshot import SnapshotTable
 
         self.spark = spark
@@ -75,6 +80,7 @@ class KeylessFeatureIndex:
             n_buckets=n_buckets,
             mode="mor",
             compact_every=compact_every,
+            compact_async=compact_async,
         )
 
     # -- maintenance --------------------------------------------------------
