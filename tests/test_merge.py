@@ -200,3 +200,18 @@ def test_merge_out_of_order_change_loses(spark):
     )
     out = merge_changes_into_state(state, latest_change_per_key(changes))
     assert _live(out) == [("c1", 0, "newer")]
+
+
+def test_agg_strategy_equals_window_across_random_logs(spark):
+    """Property sweep: the map-side-combining max_by reduction must
+    be value-identical to the window path across varied generator
+    shapes (hot keys, deletes, out-of-order ts)."""
+    from kahi_spark.gen import make_events
+    from kahi_spark.operators.merge import reduce_events_to_state
+
+    for seed, n, hot, ht in ((1, 3000, 0.1, None), (2, 5000, 0.5, 1), (3, 2000, 0.0, None)):
+        pdf = make_events(n, n_convs=25, seed=seed, hot_fraction=hot, hot_turns=ht)
+        df = spark.createDataFrame(pdf)
+        w = sorted(map(tuple, reduce_events_to_state(df, strategy="window").collect()))
+        a = sorted(map(tuple, reduce_events_to_state(df, strategy="agg").collect()))
+        assert w == a, (seed, n, hot, ht)

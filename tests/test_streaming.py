@@ -135,3 +135,29 @@ def test_run_continuous_applies_and_stops(spark, tmp_path):
     # same checkpoint, drain mode: nothing new
     pipe2 = CdcPipeline(spark, binlog, table, str(tmp_path / "ckpt"))
     assert pipe2.run_until_idle(timeout_s=60) == []
+
+
+def test_pipeline_agg_reduce_strategy_parity(spark, tmp_path):
+    """reduce_strategy="agg" (bounded-per-task max_by reduction, the
+    hot-key production setting) must produce the identical final
+    table as the default window path, end to end through the
+    streaming pipeline + MOR sink + async compaction."""
+    event_dir = str(tmp_path / "agg-events")
+    write_event_batches(event_dir, 1800, 6, seed=23, hot_fraction=0.4, hot_turns=2)
+    states = {}
+    for strat in ("window", "agg"):
+        table = SnapshotTable(
+            spark, str(tmp_path / f"t-{strat}"), n_buckets=4, mode="mor",
+            compact_every=3, compact_async=(strat == "agg"),
+        )
+        CdcPipeline(
+            spark, event_dir, table, str(tmp_path / f"ck-{strat}"),
+            reduce_strategy=strat,
+        ).run_until_idle()
+        states[strat] = [
+            tuple(r)
+            for r in stable_view(
+                table.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+            ).collect()
+        ]
+    assert states["agg"] == states["window"] and len(states["agg"]) > 0
