@@ -232,6 +232,7 @@ class SnapshotTable:
                 "commits": [],
                 "key_cols": None,
                 "base_n_buckets": None,
+                "snapshot_log": [],
             }
         with open(p) as f:
             m = json.load(f)
@@ -239,6 +240,7 @@ class SnapshotTable:
         m.setdefault("epoch_floor", -1)
         m.setdefault("key_cols", None)
         m.setdefault("base_n_buckets", None)
+        m.setdefault("snapshot_log", None)  # None = pre-r5 manifest
         return m
 
     #: hot-manifest commit-history cap: older commit records move to an
@@ -431,10 +433,26 @@ class SnapshotTable:
     def _epoch_committed(self, m: dict, epoch_id: int) -> bool:
         return epoch_id <= m["epoch_floor"] or str(epoch_id) in m["epochs"]
 
+    #: snapshot_log cap: only RECENT snapshot versions matter (older
+    #: v-dirs are GC'd / trashed long before the log rotates them
+    #: out), so the manifest list stays bounded instead of scanning
+    #: the O(total-epochs) commit archive per fold / time-travel read
+    SNAPSHOT_LOG_HOT = 128
+
+    def _record_snapshot_version(self, m: dict, version: int) -> None:
+        log = m.get("snapshot_log") or []
+        log.append(version)
+        m["snapshot_log"] = log[-self.SNAPSHOT_LOG_HOT :]
+
     def _snapshot_versions(self) -> set[int]:
         """Versions whose commit produced a BASE snapshot dir (init /
         COW merge / compact) — the only legitimate time-travel
-        targets and the only v-dirs that may live on disk."""
+        targets and the only v-dirs that may live on disk. Served
+        from the manifest's bounded ``snapshot_log``; a pre-r5
+        manifest (no log yet) falls back to one commit-history scan."""
+        m = self._read_manifest()
+        if m["snapshot_log"] is not None:
+            return set(m["snapshot_log"])
         return {
             c["version"] for c in self.history() if c["op"] != "merge-delta"
         }
@@ -445,15 +463,19 @@ class SnapshotTable:
         deduped by version (a crash can leave one archive line
         duplicated)."""
         out: dict[int, dict] = {}
-        archive = os.path.join(self.path, "_commits_archive.jsonl")
-        if os.path.exists(archive):
-            with open(archive) as f:
-                for line in f:
-                    if line.strip():
-                        c = json.loads(line)
-                        out[c["version"]] = c
-        for c in self._read_manifest()["commits"]:
-            out[c["version"]] = c
+        # under the manifest lock: the archive append in
+        # _commit_manifest and this read would otherwise race (a
+        # torn final line → JSONDecodeError in a reader thread)
+        with self._mlock:
+            archive = os.path.join(self.path, "_commits_archive.jsonl")
+            if os.path.exists(archive):
+                with open(archive) as f:
+                    for line in f:
+                        if line.strip():
+                            c = json.loads(line)
+                            out[c["version"]] = c
+            for c in self._read_manifest()["commits"]:
+                out[c["version"]] = c
         return [out[v] for v in sorted(out)]
 
     # --- writes -----------------------------------------------------------
@@ -509,6 +531,7 @@ class SnapshotTable:
             resolved["files"] = _file_stats(os.path.join(self.path, snap))
             m["version"] = version
             m["snapshot"] = snap
+            self._record_snapshot_version(m, version)
             m["key_cols"] = list(self.key_cols)
             m["base_n_buckets"] = self.n_buckets  # modulus this base was written with
             if epoch_id is not None:
@@ -913,6 +936,8 @@ class SnapshotTable:
         # version number.
         legit = self._snapshot_versions()
         trash_now = set(m.get("trash", []))
+        referenced_deltas = set(folding) | trash_now
+        v_at_start = m["version"]
         for e in os.scandir(self.path):
             if not e.is_dir():
                 continue
@@ -928,6 +953,23 @@ class SnapshotTable:
                 and e.name != base_at_start
             ):
                 shutil.rmtree(e.path, ignore_errors=True)
+            elif e.name.startswith("d") and e.name not in referenced_deltas:
+                # orphaned delta: a delta write that crashed before
+                # its manifest commit AND whose label was then skipped
+                # by the replay (a concurrent fold bumped the version
+                # in between), or a pre-upgrade random-suffixed label.
+                # Safe to sweep only when the label's version is
+                # STRICTLY below the fold-start manifest version: an
+                # in-flight merge's label is entry_version+1, and at
+                # most ONE fold commit can land between that entry and
+                # this fold's manifest read (folds serialize; merges
+                # are sequential), so the in-flight label is always
+                # ≥ v_at_start — a dir still being written is never
+                # touched, while a genuine orphan's label has been
+                # overtaken by at least one later commit.
+                digits = e.name[1:].split("-", 1)[0]
+                if digits.isdigit() and int(digits) < v_at_start:
+                    shutil.rmtree(e.path, ignore_errors=True)
         if strategy == "auto":
             def _dir_bytes(sub: str) -> int:
                 d = os.path.join(self.path, sub)
@@ -992,6 +1034,7 @@ class SnapshotTable:
             )
             m2["version"] = version
             m2["snapshot"] = snap
+            self._record_snapshot_version(m2, version)
             m2["deltas"] = [d for d in m2["deltas"] if d not in folding]
             m2["trash"] = trash
             m2["key_cols"] = list(self.key_cols)

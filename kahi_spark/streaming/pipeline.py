@@ -375,12 +375,16 @@ class CdcPipeline:
         q.awaitTermination(timeout_s)
         if q.isActive:
             q.stop()
-        # quiesce: join a background compaction fold (and surface its
-        # failure) before handing the table back. The wait is timed:
-        # in a short run it is pure tail (nothing left to overlap),
-        # so throughput reports can amortize it honestly
+        # quiesce: join background compaction folds (and surface their
+        # failures) before handing the tables back — the MAIN table's
+        # and the keyless index's backing table's (its compact_async
+        # failures would otherwise be silently lost at exit). The wait
+        # is timed: in a short run it is pure tail (nothing left to
+        # overlap), so throughput reports can amortize it honestly
         t_w = time.time()
         self.table.wait_for_compaction()
+        if self.keyless_index is not None:
+            self.keyless_index.table.wait_for_compaction()
         self.last_quiesce_wait_s = round(time.time() - t_w, 3)
         return self.metrics
 
@@ -412,4 +416,6 @@ class CdcPipeline:
             if q.isActive:
                 q.stop()
         self.table.wait_for_compaction()
+        if self.keyless_index is not None:
+            self.keyless_index.table.wait_for_compaction()
         return self.metrics

@@ -325,3 +325,26 @@ def test_crashed_delta_write_self_heals_on_replay(spark, tmp_path):
     t.merge(spark.createDataFrame([ev(0, "insert", "c1", 0, "a", 0)], EVENT_SCHEMA), epoch_id=0)
     assert sorted_state(t) == [("c1", 0, "a")]
     assert not os.path.exists(os.path.join(stale, "part-junk.parquet"))
+
+
+def test_fold_sweeps_orphaned_delta_dirs_but_not_live_ones(spark, tmp_path):
+    """Code-review r5 (2nd pass): a delta dir whose label was
+    overtaken by later commits and that the manifest never references
+    is a crash orphan — the fold sweeps it; manifest-referenced
+    deltas and labels at/above the fold-start version are never
+    touched."""
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=2, mode="mor", compact_every=100)
+    t.merge(spark.createDataFrame([ev(0, "insert", "c1", 0, "a", 0)], EVENT_SCHEMA), epoch_id=0)
+    t.merge(spark.createDataFrame([ev(1, "insert", "c2", 0, "b", 1)], EVENT_SCHEMA), epoch_id=1)
+    # orphan with an overtaken label (version is now ≥ 2)
+    orphan = str(tmp_path / "t" / "d00000001-deadbe")
+    os.makedirs(orphan)
+    # same-or-higher label: could be an in-flight write — must survive
+    inflight = str(tmp_path / "t" / f"d{t._read_manifest()['version'] + 1:08d}")
+    os.makedirs(inflight)
+    t.compact(strategy="global")
+    assert not os.path.exists(orphan)
+    assert os.path.exists(inflight)
+    assert sorted_state(t) == [("c1", 0, "a"), ("c2", 0, "b")]
