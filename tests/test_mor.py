@@ -348,3 +348,51 @@ def test_fold_sweeps_orphaned_delta_dirs_but_not_live_ones(spark, tmp_path):
     assert not os.path.exists(orphan)
     assert os.path.exists(inflight)
     assert sorted_state(t) == [("c1", 0, "a"), ("c2", 0, "b")]
+
+
+def test_concurrent_reads_and_sync_compacts_during_async_merges(spark, tmp_path):
+    """Live-concurrency stress for the round-5 locking: while one
+    thread merges epochs into a compact_async table (spawning
+    background folds), another thread hammers read()/lookup() and
+    explicit sync compact() calls. No torn manifests, no
+    mid-plan-deleted files, and the final state equals the
+    single-threaded reference."""
+    import threading
+
+    pdf = make_events(8000, n_convs=40, seed=55)
+    df = spark.createDataFrame(pdf).localCheckpoint(eager=True)
+    t = SnapshotTable(
+        spark, str(tmp_path / "st"), n_buckets=4, mode="mor",
+        compact_every=2, compact_async=True,
+    )
+    errs: list[BaseException] = []
+    done = threading.Event()
+
+    def reader():
+        while not done.is_set():
+            try:
+                t.read().count()
+                t.compact()  # sync fold racing the spawned ones
+                t.lookup("c1", 0).collect()
+                t.history()
+            except FileNotFoundError:
+                pass  # table may not exist yet at loop start
+            except BaseException as e:  # noqa: BLE001
+                errs.append(e)
+                return
+
+    th = threading.Thread(target=reader, daemon=True)
+    th.start()
+    per = 800
+    for e in range(10):
+        batch = df.filter((F.col("seq") >= e * per) & (F.col("seq") < (e + 1) * per))
+        t.merge(batch, epoch_id=e)
+    done.set()
+    th.join(timeout=120)
+    t.wait_for_compaction()
+    assert not errs, errs[0]
+    ref = SnapshotTable(spark, str(tmp_path / "ref"), n_buckets=4, mode="mor", compact_every=100)
+    for e in range(10):
+        batch = df.filter((F.col("seq") >= e * per) & (F.col("seq") < (e + 1) * per))
+        ref.merge(batch, epoch_id=e)
+    assert sorted_state(t) == sorted_state(ref)
