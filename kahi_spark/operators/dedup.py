@@ -49,6 +49,15 @@ def shingle_df(
             ),
         )
     )
+    # docs below n tokens produce NO shingles (empty set — same as
+    # the DuckDB mirror's empty range() comprehension). Without the
+    # guard, sequence(0, negative) DESCENDS and element_at hits index
+    # 0/out-of-bounds — under Spark 4 ANSI that throws, and one short
+    # text killed the whole ingest epoch through
+    # LshDedupIndex.dedup_batch (round-5 review finding).
+    grams = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
     return staged.select(F.col(id_col), F.explode(grams).alias("shingle"))
 
 

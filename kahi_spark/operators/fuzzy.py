@@ -113,7 +113,11 @@ def token_set_ratio_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
     def score(x, y):
         if x is None or y is None:
             return None
-        return SequenceMatcher(None, norm(x), norm(y)).ratio()
+        # autojunk=False like every other scorer here: the default
+        # heuristic silently degrades ratios for strings > ~200 chars
+        # (popular chars become junk), diverging from the reference's
+        # fuzz semantics on long titles (round-5 review finding)
+        return SequenceMatcher(None, norm(x), norm(y), autojunk=False).ratio()
 
     return pd.Series([score(x, y) for x, y in zip(a, b)], dtype="float64")
 
@@ -227,7 +231,14 @@ def fuzzy_join(
 
     Returns matches ≥ threshold; with ``pick_first``, exactly the
     best candidate per probe (ties → lowest candidate id) — the
-    reference's first-match-wins."""
+    reference's first-match-wins. DELIBERATE adaptation: the
+    reference compares strictly (``ratio > 90``,
+    ``WebOfScience.py:262``); this engine standardizes inclusive ≥
+    across every cascade AND every oracle mirror (thresholds are
+    caller-supplied floats, so a caller wanting strict semantics
+    passes the next representable value) — one convention, engine
+    and oracles agreeing bit-for-bit, beats mirroring the
+    reference's per-call-site mix."""
     joined = probes.join(candidates, on=block_cols, how="inner").filter(
         F.col(probe_id) != F.col(cand_id)
     )

@@ -1083,7 +1083,8 @@ def _ensure_expected_corresponding(sf_dir: str) -> None:
 
     scorers = [
         lambda x, y: _partial_ratio_py(x, y),
-        lambda x, y: SequenceMatcher(None, norm(x), norm(y)).ratio(),
+        # autojunk=False mirrors token_set_ratio_pandas exactly
+        lambda x, y: SequenceMatcher(None, norm(x), norm(y), autojunk=False).ratio(),
         lambda x, y: _partial_ratio_py(norm(x), norm(y)),
     ]
     out, unresolved = [], probes

@@ -255,12 +255,29 @@ class LshDedupIndex:
         epochs a redundant count job per epoch is real overhead."""
         key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])
         inserts = batch.filter(F.col("op") == "insert").withColumn("_k", key)
-        new_sigs = self._signatures(
-            inserts.select(F.col("_k").alias("k"), text_col).dropDuplicates(["k"]),
-            "k",
-            text_col,
+        # one text per key, DETERMINISTICALLY the (ts, seq)-latest —
+        # the same row the LWW merge will keep. (dropDuplicates picked
+        # an arbitrary partition-order row: the index could sign the
+        # LOSING write's text and then mis-dedup against a text that
+        # never entered the corpus — round-5 review finding.)
+        ordk = F.struct(
+            F.coalesce(F.col("ts"), F.to_timestamp(F.lit("1970-01-01"))).alias("t"),
+            F.col("seq").alias("s"),
         )
-        dups = self.find_neardups(new_sigs).select(F.col("key").alias("_k")).distinct()
+        picked = (
+            inserts.groupBy(F.col("_k").alias("k"))
+            .agg(F.max_by(F.col(text_col), ordk).alias(text_col))
+        )
+        # checkpoint the signatures: consumed by the band join (2×),
+        # the verification join, the surviving anti-join and add()'s
+        # band write — without it the batch re-shingles ~4× per epoch
+        new_sigs = self._signatures(picked, "k", text_col).localCheckpoint(eager=True)
+        dups = (
+            self.find_neardups(new_sigs)
+            .select(F.col("key").alias("_k"))
+            .distinct()
+            .localCheckpoint(eager=True)  # consumed by 3 downstream jobs
+        )
         prior_dropped = self.dropped_keys().select(F.col("key").alias("_k"))
         all_dropped = dups.unionByName(prior_dropped).distinct()
         kept = (
@@ -276,8 +293,14 @@ class LshDedupIndex:
         # ONE action here: kept.count() over the just-checkpointed
         # partitions; the batch size comes from the caller when known
         n_deduped = (n_events if n_events is not None else batch.count()) - kept.count()
+        # anti-join against ALL dropped keys, not just this batch's:
+        # a previously-dropped key re-inserted with NOVEL text has all
+        # its events suppressed by the ledger above — indexing its new
+        # signature would advertise text that never entered the
+        # corpus, and future near-dups of it would be dropped against
+        # a ghost (round-5 review finding).
         surviving = new_sigs.join(
-            dups.withColumnRenamed("_k", "key"), on="key", how="left_anti"
+            all_dropped.withColumnRenamed("_k", "key"), on="key", how="left_anti"
         )
         self.add(surviving, epoch_id, dropped=dups.withColumnRenamed("_k", "key"))
         return kept, n_deduped

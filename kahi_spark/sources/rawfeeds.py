@@ -141,7 +141,7 @@ def lens_fields(p: Column) -> Column:
         p["speaker"]["role"],
         p["body"],
         p["tool"]["name"],
-        F.to_timestamp(p["sent_at"]),
+        F.try_to_timestamp(p["sent_at"]),
     )
 
 
@@ -176,7 +176,7 @@ def scopus_fields(p: Column) -> Column:
         p["Role"],
         p["Text"],
         p["Tool"],
-        F.to_timestamp(p["Timestamp"]),
+        F.try_to_timestamp(p["Timestamp"]),
     )
 
 
@@ -196,7 +196,7 @@ def scielo_fields(p: Column) -> Column:
         p["papel"],
         p["texto"],
         p["herramienta"],
-        F.to_timestamp(p["fecha"], "dd/MM/yyyy HH:mm:ss"),
+        F.try_to_timestamp(p["fecha"], F.lit("dd/MM/yyyy HH:mm:ss")),
     )
 
 
@@ -231,7 +231,7 @@ def oadoi_fields(p: Column) -> Column:
         F.lit(None),
         p["oa_text"],
         F.lit(None),
-        F.to_timestamp(p["updated"]),
+        F.try_to_timestamp(p["updated"]),
     )
 
 
@@ -367,7 +367,14 @@ def normalize_feeds(feed: DataFrame) -> DataFrame:
     )
     expr: Column | None = None
     for src, fn in FIELDS.items():
-        branch = fn(F.col(f"_p_{src}"))
+        # gate on the PARSED struct: from_json returns NULL for a
+        # malformed payload, but a canonical struct BUILT from that
+        # null parse is itself non-null (a struct of nulls with op
+        # defaulted to 'insert') — without this guard a truncated
+        # payload for a known source became a phantom all-null insert
+        # instead of being skipped (round-5 review finding; the
+        # reference drops unparseable records, Lens.py:21-24)
+        branch = F.when(F.col(f"_p_{src}").isNotNull(), fn(F.col(f"_p_{src}")))
         expr = (
             F.when(F.col("source") == src, branch)
             if expr is None
@@ -377,5 +384,15 @@ def normalize_feeds(feed: DataFrame) -> DataFrame:
     return (
         parsed.select("seq", "source", expr.alias("_c"))
         .filter(F.col("_c").isNotNull())
+        # parse-failure detection must be CONTENT-based: from_json
+        # returns a struct of all-null FIELDS for malformed JSON (a
+        # null struct only for an empty payload), so a truncated
+        # payload would otherwise become a phantom all-null insert.
+        # A record with neither key nor text is unusable by every
+        # feed (the enrichment feeds always carry the key) — matching
+        # the reference's skip of unparseable records.
+        .filter(
+            F.col("_c.conv_id").isNotNull() | F.col("_c.text").isNotNull()
+        )
         .select("seq", *[F.col(f"_c.{f}").alias(f) for f in CANON_FIELDS], "source")
     )

@@ -182,3 +182,58 @@ def test_pipeline_all_hooks_together(spark, tmp_path):
     assert rows[("a2", 5)].tool == "sql"
     # near-dup 'zz' was dropped by the index
     assert sum(m["n_deduped"] for m in metrics) >= 1
+
+
+def test_short_text_does_not_crash_ingest(spark, tmp_path):
+    """Round-5 review: a sub-3-word text made sequence() descend and
+    element_at throw under ANSI, killing the whole epoch. Short texts
+    now produce no shingles (can't near-dup via 3-grams) and pass
+    through unharmed."""
+    idx = LshDedupIndex(spark, str(tmp_path / "ix"))
+    batch = spark.createDataFrame(
+        [_ev(0, "insert", "c1", 0, "ok"), _ev(1, "insert", "c2", 0, _BASE)], _EV
+    )
+    kept, n_deduped = idx.dedup_batch(batch, 0, n_events=2)
+    assert kept.count() == 2 and n_deduped == 0
+
+
+def test_no_ghost_signature_for_previously_dropped_key(spark, tmp_path):
+    """Round-5 review: a key dropped in an earlier epoch, re-inserted
+    later with NOVEL text, has all its events suppressed — its new
+    signature must NOT be indexed (it would advertise text that never
+    entered the corpus and silently swallow future near-dups)."""
+    idx = LshDedupIndex(spark, str(tmp_path / "ix"))
+    b0 = spark.createDataFrame(
+        [_ev(0, "insert", "c1", 0, _BASE), _ev(1, "insert", "c2", 0, _NEARDUP)], _EV
+    )
+    kept0, nd0 = idx.dedup_batch(b0, 0, n_events=2)
+    assert nd0 == 1  # c2 dropped as near-dup of c1
+    # epoch 1: dropped key c2 re-inserts with completely new text
+    b1 = spark.createDataFrame([_ev(2, "insert", "c2", 0, _OTHER)], _EV)
+    kept1, nd1 = idx.dedup_batch(b1, 1, n_events=1)
+    assert nd1 == 1  # still suppressed by the dropped ledger
+    assert "c2:0" not in {r.key for r in idx.existing_sigs().collect()}
+    # epoch 2: a FRESH key with text near-dupping the ghost must be
+    # KEPT (nothing real to dedup against)
+    b2 = spark.createDataFrame([_ev(3, "insert", "c9", 0, _OTHER + " now")], _EV)
+    kept2, nd2 = idx.dedup_batch(b2, 2, n_events=1)
+    assert nd2 == 0 and kept2.count() == 1
+
+
+def test_index_signs_the_lww_text_per_key(spark, tmp_path):
+    """Round-5 review: two same-key inserts in one batch — the index
+    must sign the (ts, seq)-LATEST text (what the merge keeps), not
+    an arbitrary partition-order row."""
+    idx = LshDedupIndex(spark, str(tmp_path / "ix"))
+    b0 = spark.createDataFrame(
+        [_ev(0, "insert", "c1", 0, _OTHER), _ev(1, "insert", "c1", 0, _BASE)], _EV
+    )
+    idx.dedup_batch(b0, 0, n_events=2)
+    # near-dup of the LWW text (_BASE) → deduped
+    b1 = spark.createDataFrame([_ev(2, "insert", "c3", 0, _NEARDUP)], _EV)
+    _, nd1 = idx.dedup_batch(b1, 1, n_events=1)
+    assert nd1 == 1
+    # near-dup of the LOSING text → kept (it is not in the corpus)
+    b2 = spark.createDataFrame([_ev(3, "insert", "c4", 0, _OTHER + " today")], _EV)
+    _, nd2 = idx.dedup_batch(b2, 2, n_events=1)
+    assert nd2 == 0

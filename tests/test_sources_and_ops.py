@@ -223,3 +223,42 @@ def test_audio_frame_sampling_real_pcm(spark):
         expected_pcm = [((i * 31 + j * 17) % 1000) - 500 for j in range(24 + i % 8)]
         expect = [(j, expected_pcm[j]) for j in range(0, len(expected_pcm), 4)]
         assert sorted(got[i]) == expect
+
+
+def test_normalize_feeds_skips_malformed_payloads_and_dates(spark):
+    """Round-5 review: a malformed JSON payload for a KNOWN source
+    must be skipped (the reference drops unparseable records), not
+    passed through as a phantom all-null insert; and a malformed
+    date string must yield NULL ts, not an ANSI throw that kills the
+    batch."""
+    import json
+
+    from kahi_spark.sources.rawfeeds import normalize_feeds
+
+    good = json.dumps({
+        "conversation": {"id": "cg", "turn": 1},
+        "speaker": {"role": "user"}, "body": "hello",
+        "tool": None, "sent_at": "2024-01-01T00:00:00", "operation": "insert",
+    })
+    bad_date = json.dumps({
+        "conversation": {"id": "cb", "turn": 2},
+        "speaker": {"role": "user"}, "body": "still here",
+        "tool": None, "sent_at": "not-a-date", "operation": "insert",
+    })
+    rows = [
+        (0, "lens", good),
+        (1, "lens", "{truncated"),          # malformed JSON, known source
+        (2, "lens", bad_date),              # well-formed JSON, bad date
+        (3, "scielo", json.dumps({"codigo": "sci:cs", "turno": "T3",
+                                  "papel": "user", "texto": "hola",
+                                  "herramienta": None,
+                                  "fecha": "31/02/2024 10:00:00",  # invalid date
+                                  "accion": "ALTA"})),
+        (4, "nosuchfeed", good),            # unknown source
+    ]
+    feed = spark.createDataFrame(rows, ["seq", "source", "payload"])
+    out = {r.seq: r for r in normalize_feeds(feed).collect()}
+    assert set(out) == {0, 2, 3}            # 1 (unparseable) and 4 (unknown) dropped
+    assert out[0].ts is not None
+    assert out[2].ts is None and out[2].text == "still here"
+    assert out[3].ts is None and out[3].conv_id == "cs"
