@@ -29,9 +29,12 @@ def epoch_seconds_expr(col: Column | str) -> Column:
 
 
 def parse_iso_ts_expr(col: Column | str) -> Column:
-    """F9: ISO-8601 string → timestamp (``Lens.py:97``)."""
+    """F9: ISO-8601 string → timestamp (``Lens.py:97``). try_-variant:
+    under Spark 4 ANSI a malformed (or offset-less) string must yield
+    NULL — the F8 retry convention — not a SparkDateTimeException
+    that kills the job (round-5 review finding)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.to_timestamp(c, "yyyy-MM-dd'T'HH:mm:ssXXX")
+    return F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX"))
 
 
 #: F12: country-name → ISO alpha-2, including the reference's
@@ -84,9 +87,16 @@ def issn_format_expr(col: Column | str) -> Column:
 
 
 def id_from_composite_expr(col: Column | str, sep: str = ":", index: int = 1) -> Column:
-    """F15: 'WOS:000123' → '000123' (``WebOfScience.py:163``)."""
+    """F15: 'WOS:000123' → '000123' (``WebOfScience.py:163``).
+
+    try_element_at: an input WITHOUT the separator has fewer parts
+    than ``index+1``, and under Spark 4 ANSI a plain element_at throws
+    on out-of-bounds — one malformed id must yield NULL, not kill the
+    job (round-5 review finding). NOTE ``sep`` is a Java REGEX
+    (F.split semantics) — the default ':' is literal-safe; escape
+    metacharacters when passing others."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.element_at(F.split(c, sep), index + 1)
+    return F.try_element_at(F.split(c, sep), F.lit(index + 1))
 
 
 def name_parts_expr(col: Column | str) -> dict[str, Column]:

@@ -29,6 +29,12 @@ from pyspark.sql import types as T
 _TEX_RE = r"\\[a-zA-Z]+"
 _MARKUP_RE = r"[\$_\^{}]"
 _WS_RE = r"\s+"
+#: the pandas mirror of _WS_RE: Java's \s is ASCII-only while
+#: Python's is Unicode-aware — on NBSP/U+2000-family whitespace the
+#: two cleaners would diverge (different fingerprints/dedup keys for
+#: the same text, round-5 review finding), so the Python paths spell
+#: Java's class explicitly and strip only the plain space F.trim does
+_WS_RE_PY = r"[ \t\n\x0B\f\r]+"
 
 
 def clean_text_expr(col: Column | str) -> Column:
@@ -45,8 +51,8 @@ def clean_text_pandas(s: pd.Series) -> pd.Series:
     """Arrow-batched cleaner; same semantics as ``clean_text_expr``."""
     out = s.str.replace(_TEX_RE, "", regex=True)
     out = out.str.replace(_MARKUP_RE, "", regex=True)
-    out = out.str.replace(_WS_RE, " ", regex=True)
-    return out.str.strip()
+    out = out.str.replace(_WS_RE_PY, " ", regex=True)
+    return out.str.strip(" ")
 
 
 @pandas_udf(T.StringType())
@@ -68,14 +74,21 @@ def fold_text_pandas(s: pd.Series) -> pd.Series:
     out = s.map(fold, na_action="ignore")
     out = out.str.replace(_TEX_RE, "", regex=True)
     out = out.str.replace(_MARKUP_RE, "", regex=True)
-    out = out.str.replace(_WS_RE, " ", regex=True)
-    return out.str.strip().str.lower()
+    out = out.str.replace(_WS_RE_PY, " ", regex=True)
+    return out.str.strip(" ").str.lower()
 
 
 def token_count_expr(col: Column | str) -> Column:
     """Whitespace token count (SURVEY.md A8 analogue:
     ``len(split)`` counts, reference ``Scopus.py:138-140``).
-    NULL/empty → 0. JVM-side."""
+    NULL/empty → 0. JVM-side.
+
+    EXACT semantics (mirrored bit-for-bit by the DuckDB oracles,
+    which use the same trim+split): trim removes plain SPACES only,
+    so text whose first/last character is a tab/newline counts one
+    leading/trailing empty token more than Python's ``len(s.split())``
+    would — a documented convention, consistent across engine and
+    oracle, not Python-split parity."""
     c = F.col(col) if isinstance(col, str) else col
     t = F.trim(c)
     return F.when(
@@ -94,11 +107,11 @@ def fingerprint_expr(col: Column | str) -> Column:
 # Python-side mirrors for unit tests / oracle generation ------------------
 _tex_c = re.compile(_TEX_RE)
 _markup_c = re.compile(_MARKUP_RE)
-_ws_c = re.compile(_WS_RE)
+_ws_c = re.compile(_WS_RE_PY)  # Java-\s parity, same as the pandas paths
 
 
 def clean_text_py(v: str | None) -> str | None:
     """Driver-side reference implementation (tests only)."""
     if v is None:
         return None
-    return _ws_c.sub(" ", _markup_c.sub("", _tex_c.sub("", v))).strip()
+    return _ws_c.sub(" ", _markup_c.sub("", _tex_c.sub("", v))).strip(" ")

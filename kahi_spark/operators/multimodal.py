@@ -79,6 +79,11 @@ def _parse_header(payload: bytes | None) -> tuple[int | None, int | None, int | 
     b = bytes(payload)
     n = len(b)
     if b[:8] == b"\x89PNG\r\n\x1a\n" and n >= 24:
+        # require IHDR actually at offset 8 (spec-mandated first
+        # chunk; non-standard layouts like Apple CgBI would otherwise
+        # read garbage dims — round-5 review finding)
+        if b[12:16] != b"IHDR":
+            return n, None, None
         return n, int.from_bytes(b[16:20], "big"), int.from_bytes(b[20:24], "big")
     if b[:2] == b"BM" and n >= 26:
         return (
@@ -89,13 +94,58 @@ def _parse_header(payload: bytes | None) -> tuple[int | None, int | None, int | 
     if b[:4] == b"GIF8" and n >= 10:
         return n, int.from_bytes(b[6:8], "little"), int.from_bytes(b[8:10], "little")
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE" and n >= 28:
-        sample_rate = int.from_bytes(b[24:28], "little")
-        channels = int.from_bytes(b[22:24], "little")
-        return n, sample_rate, channels
+        # walk RIFF chunks to the actual 'fmt ' chunk instead of
+        # assuming it sits at offset 12 — real-world WAVs often lead
+        # with JUNK/LIST/bext padding chunks (round-5 review finding;
+        # same discipline as _wav_data_samples)
+        pos = 12
+        while pos + 8 <= n:
+            cid = b[pos : pos + 4]
+            csz = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            if cid == b"fmt " and pos + 16 <= n:
+                channels = int.from_bytes(b[pos + 10 : pos + 12], "little")
+                sample_rate = int.from_bytes(b[pos + 12 : pos + 16], "little")
+                return n, sample_rate, channels
+            pos += 8 + csz + (csz & 1)  # chunks are word-aligned
+        return n, None, None
     if n >= 12 and b[4:8] == b"ftyp":  # ISO BMFF (MP4/MOV)
         w, h = _mp4_dims(b)
         return n, w, h
     return n, None, None
+
+
+def _bmff_find(
+    b: bytes, start: int, end: int, path: list[bytes]
+) -> tuple[int, int] | None:
+    """Shared ISO-BMFF box walk. Handles the spec's size
+    conventions (round-5 review finding — aborting on these missed
+    ``moov`` in real files where ``mdat`` precedes it): size==1 →
+    64-bit largesize follows the type (standard for >4 GiB or
+    streaming-written files); size==0 → box runs to the end of the
+    enclosing span (legal for the last top-level box)."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(b[pos : pos + 4], "big")
+        typ = b[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                return None
+            size = int.from_bytes(b[pos + 8 : pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr:
+            return None
+        if typ == path[0]:
+            inner = (pos + hdr, min(pos + size, end))
+            if len(path) == 1:
+                return inner
+            hit = _bmff_find(b, inner[0], inner[1], path[1:])
+            if hit:
+                return hit
+        pos += size
+    return None
 
 
 def _mp4_dims(b: bytes) -> tuple[int | None, int | None]:
@@ -104,25 +154,7 @@ def _mp4_dims(b: bytes) -> tuple[int | None, int | None]:
     fixed-point (same position for tkhd v0 and v1). Pure Python —
     the container-level analogue of the RIFF chunk walk; pixel
     decoding would need a codec library and stays out of scope."""
-
-    def find(start: int, end: int, path: list[bytes]) -> tuple[int, int] | None:
-        pos = start
-        while pos + 8 <= end:
-            size = int.from_bytes(b[pos : pos + 4], "big")
-            typ = b[pos + 4 : pos + 8]
-            if size < 8:
-                return None
-            if typ == path[0]:
-                inner = (pos + 8, min(pos + size, end))
-                if len(path) == 1:
-                    return inner
-                hit = find(inner[0], inner[1], path[1:])
-                if hit:
-                    return hit
-            pos += size
-        return None
-
-    span = find(0, len(b), [b"moov", b"trak", b"tkhd"])
+    span = _bmff_find(b, 0, len(b), [b"moov", b"trak", b"tkhd"])
     if span is None or span[1] - span[0] < 84:
         return None, None
     _, e = span
@@ -172,26 +204,10 @@ def _mp4_frame_count(b: bytes) -> int | None:
     """REAL frame count from the ``stts`` (time-to-sample) box:
     moov → trak → mdia → minf → stbl → stts, sum of the entries'
     sample counts — pure-Python box walk, same machinery as
-    ``_mp4_dims``."""
-
-    def find(start: int, end: int, path: list[bytes]) -> tuple[int, int] | None:
-        pos = start
-        while pos + 8 <= end:
-            size = int.from_bytes(b[pos : pos + 4], "big")
-            typ = b[pos + 4 : pos + 8]
-            if size < 8:
-                return None
-            if typ == path[0]:
-                inner = (pos + 8, min(pos + size, end))
-                if len(path) == 1:
-                    return inner
-                hit = find(inner[0], inner[1], path[1:])
-                if hit:
-                    return hit
-            pos += size
-        return None
-
-    span = find(0, len(b), [b"moov", b"trak", b"mdia", b"minf", b"stbl", b"stts"])
+    ``_mp4_dims`` (shared ``_bmff_find``)."""
+    span = _bmff_find(
+        b, 0, len(b), [b"moov", b"trak", b"mdia", b"minf", b"stbl", b"stts"]
+    )
     if span is None or span[1] - span[0] < 8:
         return None
     s, e = span

@@ -45,10 +45,16 @@ def _dot(a, b):
 
 def _with_norm(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
     v = _as_double(F.col(vec_col))
+    # zero-norm guard (round-5 review): an all-zero embedding made
+    # score = 0.0/0.0 = NaN, which Spark RANKS ABOVE every real score
+    # and which passes `>= threshold` — the zero vector became the
+    # rank-1 neighbor of every probe. nullif makes the norm NULL →
+    # score NULL → excluded by threshold filters and ranked last by
+    # desc (nulls-last), matching DuckDB where 0/0 is NULL.
     return df.select(
         F.col(id_col).alias(f"{prefix}_id"),
         v.alias(f"{prefix}_v"),
-        F.sqrt(_dot(v, v)).alias(f"{prefix}_nrm"),
+        F.nullif(F.sqrt(_dot(v, v)), F.lit(0.0)).alias(f"{prefix}_nrm"),
     )
 
 
@@ -75,7 +81,8 @@ def knn_bruteforce(
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.filter(F.col("score").isNotNull())  # zero-norm vectors never rank
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "rank", "score")
     )
@@ -246,7 +253,8 @@ def knn_lsh(
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.filter(F.col("score").isNotNull())  # zero-norm vectors never rank
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "rank", "score")
     )
@@ -452,6 +460,12 @@ def ivf_knn(
         topcells = _cells_pandas_udf(cents, nprobe=nprobe)
         p = p_base.withColumn("cell", F.explode(topcells(F.col("probe_v"))))
     else:
+        # the negated-cell field makes the ASCENDING lexicographic
+        # sort break score ties toward the HIGHER negcell — i.e.,
+        # after reverse(), toward the LOWEST cell id, matching the
+        # vectorized path's stable argsort and _argmax_cell's
+        # first-max rule (round-5 review: the two code paths used to
+        # disagree on exact-tie probes)
         dots = F.array(
             *[
                 F.struct(
@@ -459,6 +473,7 @@ def ivf_knn(
                         _dot(F.col("probe_v"), F.array(*[F.lit(x) for x in cent]))
                         / (F.col("probe_nrm") * F.lit(n))
                     ).alias("d"),
+                    F.lit(-(i + 1)).alias("negcell"),
                     F.lit(i + 1).alias("cell"),
                 )
                 for i, (cent, n) in enumerate(zip(cents, norms))
@@ -486,7 +501,8 @@ def ivf_knn(
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.filter(F.col("score").isNotNull())  # zero-norm vectors never rank
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "rank", "score")
     )

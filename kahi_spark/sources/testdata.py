@@ -58,15 +58,43 @@ SHARD_KEYS = {
 N_SHARDS = 32
 
 
+def _src_fingerprint(src: str) -> str:
+    """Identity of the SOURCE file baked into the shard-cache key:
+    (size, mtime_ns) — metadata-only. Without it a regenerated
+    source parquet (or two sf_dirs sharing a basename) would silently
+    serve stale/foreign rows while the DuckDB oracles read the fresh
+    originals — every gated query would hash-mismatch with no error
+    (round-5 review finding)."""
+    st = os.stat(src)
+    return f"{st.st_size}-{st.st_mtime_ns}"
+
+
 def table_path(spark: SparkSession, sf_dir: str, name: str) -> str:
     src = f"{sf_dir}/{name}.parquet"
     key = SHARD_KEYS.get(name)
     if key is None:
         return src
     sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    path = f"/tmp/kahi_table_shards_v{SHARD_VER}/{sf_tag}/{name}"
+    path = (
+        f"/tmp/kahi_table_shards_v{SHARD_VER}/{sf_tag}/"
+        f"{name}-{_src_fingerprint(src)}"
+    )
     if not os.path.exists(path):
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+        parent = os.path.dirname(path)
+        os.makedirs(parent, exist_ok=True)
+        # sweep stale fingerprints of THIS table (complete, renamed
+        # dirs — a regenerated source cannot be mid-build under an old
+        # fingerprint) so /tmp holds at most one live copy per
+        # (sf, table). Deliberately does NOT sweep .build-* temp dirs:
+        # a CONCURRENT process may be mid-write there (each build is
+        # uniquely named and self-cleans on rename failure).
+        for e in os.scandir(parent):
+            if (
+                e.is_dir()
+                and e.name.startswith(f"{name}-")
+                and ".build-" not in e.name
+            ):
+                shutil.rmtree(e.path, ignore_errors=True)
         tmp = f"{path}.build-{uuid.uuid4().hex}"
         (
             spark.read.parquet(src)

@@ -59,17 +59,29 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def conversation_progress(events: DataFrame) -> DataFrame:
+def conversation_progress(
+    events: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per-conversation running counters (events seen so far, max turn
     index) maintained across micro-batches — the shape Kahi's
     shrinking in-memory candidate lists had (``Kahi.py:195-199``),
-    held in managed stream state instead of driver RAM."""
+    held in managed stream state instead of driver RAM.
+
+    ``idle_timeout_ms``: evict a conversation's state after that much
+    processing time without new events (the key re-starts its
+    counters if it later reappears). Default None keeps state forever
+    — fine for bounded key sets; at 10^10 events with ever-new
+    conv_ids the state store grows without bound, so long-running
+    deployments SHOULD set a timeout (round-5 review finding)."""
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (conv_id,) = key
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            state.remove()  # idle conversation: evict, emit nothing
+            return
         seen, max_turn = state.get if state.exists else (0, -1)
         batch = 0
         for pdf in pdfs:
@@ -78,6 +90,8 @@ def conversation_progress(events: DataFrame) -> DataFrame:
                 max_turn = max(max_turn, int(pdf["turn_idx"].max()))
         seen += batch
         state.update((seen, max_turn))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             {
                 "conv_id": [conv_id],
@@ -92,7 +106,9 @@ def conversation_progress(events: DataFrame) -> DataFrame:
         outputStructType=CONV_PROGRESS_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf="NoTimeout",
+        timeoutConf=(
+            "ProcessingTimeTimeout" if idle_timeout_ms is not None else "NoTimeout"
+        ),
     )
 
 

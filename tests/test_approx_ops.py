@@ -214,3 +214,28 @@ def test_argmax_cell_uses_centroid_norm(spark):
     for vec in (False, True):
         got = _assign_cells(base, "x_v", "x_nrm", cents, vectorized=vec).collect()[0].cell
         assert got == 1, f"vectorized={vec}: unnormalized dot won ({got})"
+
+
+def test_zero_norm_vectors_never_rank(spark):
+    """Round-5 fix: an all-zero embedding must not rank (0/0 was NaN,
+    which Spark sorts ABOVE every real score) — NULL-norm rows are
+    excluded on both the corpus and probe side."""
+    from kahi_spark.operators.similarity import knn_bruteforce
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.6, 0.8])],
+        "vec_id long, embedding array<double>",
+    )
+    probes = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = knn_bruteforce(probes, corpus, k=3).collect()
+    assert all(r.neighbor_id != 2 for r in rows)  # zero corpus vec never ranks
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    assert 20 not in by_probe  # zero probe has no defined similarity
+    ranked = sorted(by_probe[10], key=lambda r: r.rank)
+    assert [r.neighbor_id for r in ranked] == [1, 3]
+    assert all(r.score is not None for r in rows)

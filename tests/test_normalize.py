@@ -81,3 +81,19 @@ def test_token_count_and_fingerprint(spark):
     import hashlib
 
     assert fp[0][0] == hashlib.md5(b"a b c").hexdigest()
+
+
+def test_clean_text_unicode_ws_parity(spark):
+    """Java's \\s is ASCII-only; the pandas/python mirrors must not
+    collapse NBSP/U+2003 where the JVM expr keeps them (round-5 fix —
+    divergent cleaners would give the same text different dedup
+    fingerprints depending on which path cleaned it)."""
+    s = "a b   c\td  e "
+    df = spark.createDataFrame([(s,)], "text string")
+    expr_out = df.select(clean_text_expr("text")).first()[0]
+    pandas_out = df.select(clean_text_pandas(F.col("text"))).first()[0]
+    py_out = clean_text_py(s)
+    assert expr_out == pandas_out == py_out
+    assert " " in expr_out  # NBSP survives (NOT Java whitespace)
+    assert " " in expr_out  # em-space survives too
+    assert "\t" not in expr_out  # ASCII ws still collapses everywhere

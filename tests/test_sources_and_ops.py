@@ -262,3 +262,98 @@ def test_normalize_feeds_skips_malformed_payloads_and_dates(spark):
     assert out[0].ts is not None
     assert out[2].ts is None and out[2].text == "still here"
     assert out[3].ts is None and out[3].conv_id == "cs"
+
+
+def test_try_scalar_variants_null_on_malformed(spark):
+    """Round-5 hardening: F9 (ISO timestamp) and F15 (composite id)
+    yield NULL on malformed input under Spark 4 ANSI instead of
+    throwing mid-job."""
+    from kahi_spark.functions.scalars import parse_iso_ts_expr
+
+    df = spark.createDataFrame(
+        [
+            ("2024-01-02T03:04:05+00:00", "WOS:000123"),
+            ("not-a-timestamp", "nosep"),
+            ("2024-13-99T99:99:99+00:00", ""),
+            (None, None),
+        ],
+        "iso string, comp string",
+    )
+    got = df.select(
+        parse_iso_ts_expr("iso").alias("ts"),
+        id_from_composite_expr("comp").alias("id"),
+    ).collect()
+    assert got[0].ts is not None and got[0].id == "000123"
+    assert got[1].ts is None and got[1].id is None  # no separator → NULL
+    assert got[2].ts is None  # well-shaped but invalid calendar date
+    assert got[3].ts is None and got[3].id is None
+
+
+def test_header_parse_robustness():
+    """Round-5 review fixes in the pure-Python container parsers:
+    PNG requires IHDR as the first chunk; WAV walks RIFF chunks to
+    'fmt ' (JUNK/LIST padding is routine); ISO-BMFF honors size==1
+    (64-bit largesize) and size==0 (to-end) boxes, and finds moov
+    when mdat precedes it."""
+    from kahi_spark.operators.multimodal import (
+        _box,
+        _mp4_bytes,
+        _mp4_dims,
+        _parse_header,
+        _png_bytes,
+        _wav_bytes,
+    )
+
+    # PNG magic whose first chunk is NOT IHDR (CgBI-style): no garbage dims
+    bogus = b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"CgBI" + bytes(17)
+    assert _parse_header(bogus) == (len(bogus), None, None)
+    assert _parse_header(_png_bytes(33, 44)) == (len(_png_bytes(33, 44)), 33, 44)
+
+    # WAV with an odd-sized JUNK chunk (word-aligned pad) before fmt
+    wav = _wav_bytes(16000, 2)
+    junk = b"JUNK" + (5).to_bytes(4, "little") + bytes(6)  # 5 data + 1 pad
+    padded = wav[:12] + junk + wav[12:]
+    padded = padded[:4] + (len(padded) - 8).to_bytes(4, "little") + padded[8:]
+    assert _parse_header(padded) == (len(padded), 16000, 2)
+
+    # MP4: mdat BEFORE moov, moov written with a 64-bit largesize header
+    core = _mp4_bytes(64, 48)
+    ftyp, moov = core[:24], core[24:]
+    mdat = _box(b"mdat", bytes(32))
+    large_moov = (
+        (1).to_bytes(4, "big") + b"moov"
+        + (len(moov) + 8).to_bytes(8, "big") + moov[8:]
+    )
+    assert _mp4_dims(ftyp + mdat + large_moov) == (64, 48)
+    # size==0 final box: moov runs to end-of-file
+    zero_moov = (0).to_bytes(4, "big") + moov[4:]
+    assert _mp4_dims(ftyp + mdat + zero_moov) == (64, 48)
+
+
+def test_table_path_fingerprint_invalidates(spark, tmp_path):
+    """Regenerating a source parquet must invalidate the /tmp shard
+    cache (fingerprinted path) and sweep the stale copy — otherwise
+    queries silently read old rows while oracles read new ones."""
+    import os
+
+    import pandas as pd
+
+    from kahi_spark.sources import testdata as td
+
+    sf = str(tmp_path / "sfx")
+    os.makedirs(sf)
+    src = f"{sf}/documents.parquet"
+    pd.DataFrame(
+        {"doc_id": pd.array(range(10), dtype="int64"), "v": 1}
+    ).to_parquet(src, index=False)
+    p1 = td.table_path(spark, sf, "documents")
+    assert os.path.exists(p1) and spark.read.parquet(p1).count() == 10
+    assert td.table_path(spark, sf, "documents") == p1  # stable while unchanged
+
+    pd.DataFrame(
+        {"doc_id": pd.array(range(25), dtype="int64"), "v": 2}
+    ).to_parquet(src, index=False)
+    p2 = td.table_path(spark, sf, "documents")
+    assert p2 != p1
+    assert spark.read.parquet(p2).count() == 25
+    assert not os.path.exists(p1)  # stale fingerprint swept

@@ -69,3 +69,67 @@ def test_conversation_progress_state_accumulates(spark, tmp_path):
     # updated in more than one batch (3 files → 3 batches)
     multi = out.groupBy("conv_id").count().filter("count > 1").count()
     assert multi > 0
+
+
+def test_conversation_progress_idle_timeout_evicts(spark, tmp_path):
+    """Round-5 hardening: ``idle_timeout_ms`` bounds the state store —
+    a conversation with no events for that long is evicted (and
+    restarts its counters if it reappears), instead of state growing
+    forever with ever-new conv_ids. One availableNow run at
+    maxFilesPerTrigger=1 → one micro-batch per file; each batch takes
+    far longer than the 50 ms timeout, so a key skipping a batch is
+    guaranteed expired by the next one."""
+    import os
+    from datetime import datetime
+
+    import pandas as pd
+
+    event_dir = str(tmp_path / "ev3")
+    os.makedirs(event_dir)
+
+    def emit(name, seq0, rows):
+        n = len(rows)
+        pd.DataFrame(
+            {
+                "seq": pd.array(range(seq0, seq0 + n), dtype="int64"),
+                "op": pd.array(["insert"] * n, dtype="string"),
+                "conv_id": pd.array([c for c, _ in rows], dtype="string"),
+                "turn_idx": pd.array([t for _, t in rows], dtype="int32"),
+                "role": pd.array(["user"] * n, dtype="string"),
+                "text": pd.array(["x"] * n, dtype="string"),
+                "tool": pd.array([None] * n, dtype="string"),
+                "ts": pd.Series([datetime(2024, 1, 1)] * n, dtype="datetime64[us]"),
+                "source": pd.array(["s"] * n, dtype="string"),
+            }
+        ).to_parquet(f"{event_dir}/{name}.parquet", index=False)
+
+    emit("b0", 0, [("A", 0), ("A", 1), ("A", 2), ("B", 0)])
+    emit("b1", 4, [("B", 1)])  # A idle this batch -> timer fires, evicted
+    emit("b2", 5, [("A", 7)])  # A reappears -> counters restart
+
+    by_epoch: dict[int, dict] = {}
+
+    def sink(df, epoch):
+        by_epoch[int(epoch)] = {
+            r.conv_id: (r.events_seen, r.max_turn) for r in df.collect()
+        }
+
+    stream = stream_event_log(spark, event_dir, max_files_per_trigger=1)
+    prog = conversation_progress(stream, idle_timeout_ms=50)
+    q = (
+        prog.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+
+    assert by_epoch[0] == {"A": (3, 2), "B": (1, 0)}
+    # epoch 1: A had no data and its 50 ms timer expired -> evicted,
+    # emitting nothing; B (which HAS data) is never the timeout call
+    assert by_epoch[1] == {"B": (2, 1)}
+    # epoch 2: the evicted key restarts from scratch
+    assert by_epoch[2].get("A") == (1, 7)
