@@ -6,10 +6,12 @@ between runs) and a full checkpoint-loss re-delivery (every epoch
 re-consumed under its committed id), asserting the final table AND
 the keyless index converge bit-identically with a clean single run.
 
-(Per-column merge policies are deliberately absent: they require
-COW mode — the sink rejects the combination loudly — and their
-composition with the keyless index's rebuild path is covered by
-``test_keyless_index.py`` on a COW table.)
+Two variants complete the matrix: ``mor`` (async-compacted MOR main
+table, no policies — the 10^10-event scale shape; per-column
+policies require COW and the sink rejects the combination loudly)
+and ``cow`` (COW main table + a ``fill_empty`` tool policy — the
+read-modify merge shape). The keyless index's backing table is
+MOR + async compaction in both.
 
 The re-delivery leg is the interesting one: replayed epochs run
 against a FUTURE index state (e.g. the epoch-1 keyless probe no
@@ -102,11 +104,16 @@ def _write_epochs(d: str, upto: int) -> None:
             _pdf(_EPOCH_FILES[i]).to_parquet(p, index=False)
 
 
-def _build(spark, root: str, binlog: str) -> CdcPipeline:
-    table = SnapshotTable(
-        spark, os.path.join(root, "t"), n_buckets=2, mode="mor",
-        compact_every=2, compact_async=True,
-    )
+def _build(spark, root: str, binlog: str, mode: str) -> CdcPipeline:
+    if mode == "mor":
+        table = SnapshotTable(
+            spark, os.path.join(root, "t"), n_buckets=2, mode="mor",
+            compact_every=2, compact_async=True,
+        )
+        policies = None
+    else:
+        table = SnapshotTable(spark, os.path.join(root, "t"), n_buckets=2, mode="cow")
+        policies = {"tool": "fill_empty"}
     kidx = KeylessFeatureIndex(
         spark, os.path.join(root, "kidx"), n_buckets=2,
         compact_every=2, compact_async=True,
@@ -122,6 +129,7 @@ def _build(spark, root: str, binlog: str) -> CdcPipeline:
         keyless_index=kidx,
         dedup_index=didx,
         converge_sources=("lens", "wos"),
+        policies=policies,
     )
 
 
@@ -143,11 +151,15 @@ def _feats(kidx) -> list[tuple]:
     )
 
 
-def test_everything_on_crash_resume_replay_matches_clean_run(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_everything_on_crash_resume_replay_matches_clean_run(spark, tmp_path, mode):
     # ---- clean single run: all four epochs in one go --------------------
     clean_log = str(tmp_path / "log-clean")
     _write_epochs(clean_log, 4)
-    clean = _build(spark, str(tmp_path / "clean"), clean_log)
+    clean = _build(spark, str(tmp_path / "clean"), clean_log, mode)
     clean_metrics = clean.run_until_idle(timeout_s=240)
     want_state, want_feats = _state(clean.table), _feats(clean.keyless_index)
 
@@ -157,9 +169,13 @@ def test_everything_on_crash_resume_replay_matches_clean_run(spark, tmp_path):
     assert set(by_key) == {("a1", 0), ("a3", 1)}  # a2 deleted, zz deduped
     a1 = by_key[("a1", 0)]
     assert a1[3] == _THIRD_PROBE  # keyless e3 probe adopted a1 and won LWW
-    # e0's converged record took the wos tool; e2's whole-row LWW
-    # update (tool NULL, no fill policy on a MOR table) replaced it
-    assert a1[4] is None
+    if mode == "cow":
+        # fill_empty kept e0's wos tool through e2/e3's NULL-tool updates
+        assert a1[4] == "search"
+    else:
+        # e0's converged record took the wos tool; e2's whole-row LWW
+        # update (tool NULL, no fill policy on a MOR table) replaced it
+        assert a1[4] is None
     assert sum(m["n_deduped"] for m in clean_metrics) >= 1  # zz dropped
     # the index mirrors live state exactly: a1 (rewritten+probed) + a3
     assert {(r[0], r[1]) for r in want_feats} == {("a1", 0), ("a3", 1)}
@@ -168,13 +184,13 @@ def test_everything_on_crash_resume_replay_matches_clean_run(spark, tmp_path):
     b_log = str(tmp_path / "log-b")
     b_root = str(tmp_path / "b")
     _write_epochs(b_log, 2)
-    _build(spark, b_root, b_log).run_until_idle(timeout_s=240)  # epochs 0-1
+    _build(spark, b_root, b_log, mode).run_until_idle(timeout_s=240)  # epochs 0-1
 
     # planned restart: two more epoch files land, a NEW pipeline object
     # resumes from the same checkpoint (epochs 2-3 only)
     _write_epochs(b_log, 4)
-    _build(spark, b_root, b_log).run_until_idle(timeout_s=240)
-    assert _state(_build(spark, b_root, b_log).table) == want_state
+    _build(spark, b_root, b_log, mode).run_until_idle(timeout_s=240)
+    assert _state(_build(spark, b_root, b_log, mode).table) == want_state
 
     # checkpoint loss: every epoch re-delivered under its committed id.
     # Replayed epochs now resolve against FUTURE index state (the e1
@@ -182,7 +198,7 @@ def test_everything_on_crash_resume_replay_matches_clean_run(spark, tmp_path):
     # but both epoch ledgers and the dedup index's idempotent epoch
     # directories must discard all of it.
     shutil.rmtree(os.path.join(b_root, "ck"))
-    replay = _build(spark, b_root, b_log)
+    replay = _build(spark, b_root, b_log, mode)
     replay_metrics = replay.run_until_idle(timeout_s=240)
     assert all(m["applied"] is False for m in replay_metrics), replay_metrics
 
