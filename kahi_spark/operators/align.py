@@ -39,32 +39,38 @@ def align_positional_lists(
         F.lit(len(priority)),
     )
     ranked = df.withColumn("_rank", rank)
-    # the driver source per key = lowest rank present
-    w_min = F.min("_rank").over
+    # the driver source per key = lowest rank present, ties broken
+    # deterministically by source name — two sources sharing a rank
+    # (e.g. both absent from `priority`) must yield ONE driver, not
+    # two posexploded copies of every position (round-5 review)
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*key_cols)
-    ranked = ranked.withColumn("_min_rank", w_min(w))
-    driver = ranked.filter(F.col("_rank") == F.col("_min_rank"))
-    others = ranked.filter(F.col("_rank") > F.col("_min_rank"))
+    w = Window.partitionBy(*key_cols).orderBy(F.asc("_rank"), F.asc(source_col))
+    ranked = ranked.withColumn("_drn", F.row_number().over(w))
+    driver = ranked.filter(F.col("_drn") == 1)
+    others = ranked.filter(F.col("_drn") > 1)
 
     d = driver.select(
         *key_cols, F.posexplode(F.col(list_col)).alias("pos", "_el")
     ).select(*key_cols, "pos", *[F.col(f"_el.{f}").alias(f) for f in element_fields])
     o = others.select(
-        *key_cols, "_rank", F.posexplode(F.col(list_col)).alias("pos", "_el")
+        *key_cols, "_rank", source_col, F.posexplode(F.col(list_col)).alias("pos", "_el")
     ).select(
         *key_cols,
         "_rank",
+        source_col,
         "pos",
         *[F.col(f"_el.{f}").alias(f"_o_{f}") for f in element_fields],
     )
-    # best complement per (key, pos): priority order among the others
+    # best complement per (key, pos): priority order among the
+    # others, same-rank ties again broken by source name
     from pyspark.sql import Window as W2
 
-    w2 = W2.partitionBy(*key_cols, "pos").orderBy(F.asc("_rank"))
+    w2 = W2.partitionBy(*key_cols, "pos").orderBy(F.asc("_rank"), F.asc(source_col))
     best_o = (
-        o.withColumn("_rn", F.row_number().over(w2)).filter(F.col("_rn") == 1).drop("_rn", "_rank")
+        o.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_rank", source_col)
     )
     joined = d.join(best_o, on=[*key_cols, "pos"], how="left")
     merged_el = F.struct(

@@ -30,10 +30,21 @@ from pyspark.sql.functions import pandas_udf
 
 
 def char_bigrams_expr(col: Column | str) -> Column:
-    """Distinct character bigrams of the lowercased string (JVM)."""
+    """Distinct character bigrams of the lowercased string (JVM).
+
+    The lowered string is bound ONCE as a lambda variable (via a
+    1-element ``transform``) before the per-index inner transform —
+    referencing ``lower(col)`` directly inside the inner lambda would
+    re-lowercase the whole string per bigram, the O(len²)-per-doc
+    CollapseProject pitfall (CLAUDE.md; measured 2-4× extraction cost
+    at 100k docs in ``operators/keyless.py``)."""
     s = F.lower(F.col(col) if isinstance(col, str) else col)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - 1, F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: s.substr(i, F.lit(2))))
+
+    def bigrams(lc: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.length(lc) - 1, F.lit(1)))
+        return F.array_distinct(F.transform(idx, lambda i: lc.substr(i, F.lit(2))))
+
+    return F.transform(F.array(s), bigrams).getItem(0)
 
 
 def bigram_jaccard_expr(a: Column, b: Column) -> Column:

@@ -113,15 +113,29 @@ class LshDedupIndex:
     # -- storage ------------------------------------------------------------
 
     def _read(self, sub: str, schema: str) -> DataFrame:
+        """Committed ``epoch_*`` directories ONLY — never the
+        ``epoch_N.tmp-<uuid>`` leftovers of an ``add()`` that crashed
+        between write and swap: ``dedup_batch`` probes the index
+        BEFORE the sweep inside the next ``add()`` runs, so a
+        recursive scan of the whole subdir would serve partial,
+        never-committed signature/band/dropped rows to candidate
+        generation (round-5 review)."""
         base = os.path.join(self.path, sub)
-        if not os.path.exists(base) or not any(
-            e.is_dir() for e in os.scandir(base)
-        ):
+        dirs = (
+            [
+                e.path
+                for e in os.scandir(base)
+                if e.is_dir() and e.name.startswith("epoch_") and ".tmp-" not in e.name
+            ]
+            if os.path.isdir(base)
+            else []
+        )
+        if not dirs:
             return self.spark.createDataFrame([], schema)
         return (
             self.spark.read.option("recursiveFileLookup", "true")
             .schema(schema)  # type: ignore[arg-type]
-            .parquet(base)
+            .parquet(*sorted(dirs))
         )
 
     def existing_bands(self) -> DataFrame:

@@ -85,11 +85,19 @@ class KeylessFeatureIndex:
 
     # -- maintenance --------------------------------------------------------
 
-    def update(self, normalized_batch: DataFrame, epoch_id: int) -> bool:
+    def update(
+        self, normalized_batch: DataFrame, epoch_id: int, watermark=None
+    ) -> bool:
         """Featurize the batch's final change per key and MERGE it
         under this epoch id. Exactly-once: a re-delivered epoch is a
         ledger no-op (returns False). Deletes flow through as
         tombstones so ``features()`` drops the key.
+
+        ``watermark``: the batch's max event ts (or a thunk), passed
+        through to the backing table's manifest. Callers that already
+        measured it (``CdcPipeline``'s metrics pre-pass) MUST pass it
+        — the fallback is an extra per-epoch Spark job re-scanning
+        the batch just for ``max(ts)``.
 
         ASSUMES the supplied batch's LWW-winning text IS the table's
         final text per key. That holds for plain LWW tables and for
@@ -104,7 +112,9 @@ class KeylessFeatureIndex:
         feats = _with_features(
             reduced.select("conv_id", "turn_idx", "op", "seq", "role", "text", "ts")
         ).select("conv_id", "turn_idx", "op", "seq", "ts", *_FEATURE_COLS)
-        return self.table.merge(feats, epoch_id=epoch_id, pre_reduced=True)
+        return self.table.merge(
+            feats, epoch_id=epoch_id, pre_reduced=True, watermark=watermark
+        )
 
     def compact(self) -> None:
         """Fold the deltas into a base (the backing table's

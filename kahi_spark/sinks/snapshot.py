@@ -198,6 +198,14 @@ class SnapshotTable:
         #: must never run concurrently (each sweeps the other's
         #: in-progress temp dirs)
         self._fold_lock = threading.Lock()
+        #: serializes MERGES end-to-end (ledger check → delta/snapshot
+        #: write → commit). The exactly-once check alone runs before
+        #: the write, so two concurrent deliveries of one epoch would
+        #: both pass it, race their overwrites of the SAME
+        #: deterministic delta dir and double-commit the epoch
+        #: (round-5 review). Folds never take this lock — async
+        #: compaction still overlaps merges.
+        self._merge_lock = threading.Lock()
         self._compact_thread: threading.Thread | None = None
         self._compact_exc: BaseException | None = None
         os.makedirs(path, exist_ok=True)
@@ -558,7 +566,7 @@ class SnapshotTable:
         unbounded-state failure the floor exists to prevent.
         Idempotent like ``merge``; returns False if already
         committed."""
-        with self._mlock:
+        with self._merge_lock, self._mlock:
             m = self._read_manifest()
             if self._epoch_committed(m, epoch_id):
                 return False
@@ -605,67 +613,68 @@ class SnapshotTable:
         """
         if policies and self.mode == "mor":
             raise ValueError("per-column merge policies require mode='cow'")
-        m = self._read_manifest()
-        if self._epoch_committed(m, epoch_id):
-            return False  # exactly-once: epoch already committed
+        with self._merge_lock:
+            m = self._read_manifest()
+            if self._epoch_committed(m, epoch_id):
+                return False  # exactly-once: epoch already committed
 
-        # ``pre_reduced``: the caller already ran latest_change_per_key
-        # (e.g. the pipeline reduces BEFORE normalizing so the window
-        # shuffle sets the parallelism for the expensive per-row work —
-        # see CdcPipeline._apply_batch); a second window here would be
-        # a redundant shuffle
-        reduced = (
-            changes
-            if pre_reduced
-            else latest_change_per_key(
-                changes,
-                key_cols=self.key_cols,
-                salt_buckets=salt_buckets,
-                strategy=reduce_strategy,
+            # ``pre_reduced``: the caller already ran latest_change_per_key
+            # (e.g. the pipeline reduces BEFORE normalizing so the window
+            # shuffle sets the parallelism for the expensive per-row work —
+            # see CdcPipeline._apply_batch); a second window here would be
+            # a redundant shuffle
+            reduced = (
+                changes
+                if pre_reduced
+                else latest_change_per_key(
+                    changes,
+                    key_cols=self.key_cols,
+                    salt_buckets=salt_buckets,
+                    strategy=reduce_strategy,
+                )
             )
-        )
-        extra = extra_metrics or {}
+            extra = extra_metrics or {}
 
-        if self.mode == "mor":
-            return self._merge_mor(m, changes, reduced, epoch_id, extra, watermark)
+            if self.mode == "mor":
+                return self._merge_mor(m, changes, reduced, epoch_id, extra, watermark)
 
-        if watermark is None:
-            # no caller-supplied watermark: scan lazily, after the write
-            watermark = lambda: changes.agg(F.max("ts")).collect()[0][0]  # noqa: E731
+            if watermark is None:
+                # no caller-supplied watermark: scan lazily, after the write
+                watermark = lambda: changes.agg(F.max("ts")).collect()[0][0]  # noqa: E731
 
-        if m["snapshot"] is None:
-            state = state_from_reduced(reduced, key_cols=self.key_cols)
-            self._commit(state, epoch_id=epoch_id, op="merge", watermark=watermark, **extra)
+            if m["snapshot"] is None:
+                state = state_from_reduced(reduced, key_cols=self.key_cols)
+                self._commit(state, epoch_id=epoch_id, op="merge", watermark=watermark, **extra)
+                return True
+
+            state = self.read_internal()
+            # schema evolution: new value columns in the batch → ADD COLUMN
+            incoming_vals = [
+                f for f in reduced.schema.fields
+                if f.name not in self.key_cols + ["op", "seq", "source"]
+            ]
+            evolved, added = evolve_schema(
+                T.StructType([f for f in state.schema.fields if f.name not in (SYS_SEQ, SYS_DELETED)]),
+                T.StructType(incoming_vals),
+            )
+            for f in added:
+                state = state.withColumn(f.name, F.lit(None).cast(f.dataType))
+
+            vals = value_cols or [
+                c for c in state.columns if c not in self.key_cols + [SYS_SEQ, SYS_DELETED]
+            ]
+            new_state = merge_changes_into_state(
+                state, reduced, key_cols=self.key_cols, value_cols=vals, policies=policies
+            )
+            self._commit(
+                new_state,
+                epoch_id=epoch_id,
+                op="merge",
+                watermark=watermark,
+                added_columns=[f.name for f in added],
+                **extra,
+            )
             return True
-
-        state = self.read_internal()
-        # schema evolution: new value columns in the batch → ADD COLUMN
-        incoming_vals = [
-            f for f in reduced.schema.fields
-            if f.name not in self.key_cols + ["op", "seq", "source"]
-        ]
-        evolved, added = evolve_schema(
-            T.StructType([f for f in state.schema.fields if f.name not in (SYS_SEQ, SYS_DELETED)]),
-            T.StructType(incoming_vals),
-        )
-        for f in added:
-            state = state.withColumn(f.name, F.lit(None).cast(f.dataType))
-
-        vals = value_cols or [
-            c for c in state.columns if c not in self.key_cols + [SYS_SEQ, SYS_DELETED]
-        ]
-        new_state = merge_changes_into_state(
-            state, reduced, key_cols=self.key_cols, value_cols=vals, policies=policies
-        )
-        self._commit(
-            new_state,
-            epoch_id=epoch_id,
-            op="merge",
-            watermark=watermark,
-            added_columns=[f.name for f in added],
-            **extra,
-        )
-        return True
 
     # --- merge-on-read path -------------------------------------------------
     def _merge_mor(
@@ -719,7 +728,9 @@ class SnapshotTable:
                     "epoch_id": epoch_id,
                     "op": "merge-delta",
                     "wall_s": round(time.time() - t0, 3),
-                    "watermark": str(wm),
+                    # JSON null when the batch had no ts (never the
+                    # literal string "None" — COW's _commit agrees)
+                    "watermark": str(wm) if wm is not None else None,
                     "files": files,
                     **{k: _lazy(v) for k, v in (extra or {}).items()},
                 }

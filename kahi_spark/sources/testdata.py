@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,6 +34,11 @@ from pyspark.sql import functions as F
 
 #: bump when the reshard layout changes
 SHARD_VER = 1
+
+#: grace window (s) before a superseded shard dir is actually
+#: deleted — long enough for another process's in-flight query over
+#: the old copy to finish (see the mark-then-sweep in table_path)
+STALE_GRACE_S = 900
 
 #: tables worth resharding → their deterministic hash key.
 #: lineitem/orders are deliberately ABSENT: they feed rounded-DOUBLE
@@ -88,13 +94,36 @@ def table_path(spark: SparkSession, sf_dir: str, name: str) -> str:
         # (sf, table). Deliberately does NOT sweep .build-* temp dirs:
         # a CONCURRENT process may be mid-write there (each build is
         # uniquely named and self-cleans on rename failure).
+        # Mark-then-sweep: a stale dir is first tagged with a .stale
+        # marker and deleted only once the marker has aged past the
+        # grace window — another process's in-flight Spark job may
+        # still be scanning the superseded dir (its executors open
+        # listed files lazily; an immediate rmtree turns that scan
+        # into FileNotFoundException mid-query — round-5 review).
         for e in os.scandir(parent):
-            if (
-                e.is_dir()
-                and e.name.startswith(f"{name}-")
-                and ".build-" not in e.name
-            ):
-                shutil.rmtree(e.path, ignore_errors=True)
+            if not e.name.startswith(f"{name}-"):
+                continue
+            if e.is_file() and e.name.endswith(".stale"):
+                if not os.path.isdir(e.path[: -len(".stale")]):
+                    try:
+                        os.unlink(e.path)  # orphan marker, dir gone
+                    except OSError:
+                        pass
+                continue
+            if e.is_dir() and ".build-" not in e.name:
+                marker = e.path + ".stale"
+                try:
+                    marker_age = time.time() - os.stat(marker).st_mtime
+                except OSError:
+                    with open(marker, "w"):
+                        pass  # mark now; a later call sweeps it
+                    continue
+                if marker_age > STALE_GRACE_S:
+                    shutil.rmtree(e.path, ignore_errors=True)
+                    try:
+                        os.unlink(marker)
+                    except OSError:
+                        pass
         tmp = f"{path}.build-{uuid.uuid4().hex}"
         (
             spark.read.parquet(src)

@@ -336,7 +336,12 @@ class CdcPipeline:
                 if self._keyless_rebuild
                 else normalized
             )
-            self.keyless_index.update(src, epoch_id)
+            # wm is the batch lineage either way (rebuild rows carry
+            # stored ts, but the manifest records what was INGESTED);
+            # a thunk when NULL so the index never re-scans for it
+            self.keyless_index.update(
+                src, epoch_id, watermark=wm if wm is not None else (lambda: None)
+            )
         wall = time.time() - t0
         # in-memory mirror of the durable per-commit metrics the sink
         # manifest records (events, watermark, wall) — SURVEY.md §4.5

@@ -55,6 +55,46 @@ def test_align_positional_lists(spark):
     assert got["d2"] == [("Solo A", "X", None)]
 
 
+def test_align_tied_rank_picks_one_deterministic_driver(spark):
+    """Two sources absent from `priority` share the fallback rank:
+    exactly ONE (first by source name) must drive — a tie must not
+    posexplode both lists and double every position (round-5
+    review). The loser still complements."""
+    el = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("name", T.StringType()),
+                T.StructField("orcid", T.StringType()),
+            ]
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("authors", el),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            ("d1", "zeta", [("Z One", None), ("Z Two", "0-2")]),
+            ("d1", "alpha", [("A One", "0-1"), ("A Two", None)]),
+        ],
+        schema,
+    )
+    out = align_positional_lists(
+        df,
+        key_cols=["doc"],
+        source_col="source",
+        list_col="authors",
+        element_fields=["name", "orcid"],
+        priority=("lens", "wos"),  # neither present source is listed
+    )
+    got = {r.doc: [tuple(a) for a in r.authors] for r in out.collect()}
+    # alpha (first by name at the tied rank) drives; zeta complements
+    assert got["d1"] == [("A One", "0-1"), ("A Two", "0-2")]
+
+
 def test_snapshot_time_travel(spark, tmp_path):
     from kahi_spark.schema import EVENT_SCHEMA
     from kahi_spark.sinks.snapshot import SnapshotTable

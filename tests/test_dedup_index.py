@@ -237,3 +237,45 @@ def test_index_signs_the_lww_text_per_key(spark, tmp_path):
     b2 = spark.createDataFrame([_ev(3, "insert", "c4", 0, _OTHER + " today")], _EV)
     _, nd2 = idx.dedup_batch(b2, 2, n_events=1)
     assert nd2 == 0
+
+
+def test_crashed_add_tmp_dirs_invisible_to_reads(spark, tmp_path):
+    """An add() that crashed between write and swap leaves
+    ``epoch_N.tmp-<uuid>`` dirs; the next dedup_batch probes the
+    index BEFORE add()'s sweep runs, so reads must serve only
+    committed ``epoch_*`` dirs (round-5 review)."""
+    import os
+    import shutil
+
+    idx = LshDedupIndex(spark, str(tmp_path / "idx"), threshold=0.8)
+    b0 = spark.createDataFrame(
+        [_ev(0, "insert", "c1", 0, _BASE), _ev(1, "insert", "c3", 0, _OTHER)], _EV
+    )
+    idx.dedup_batch(b0, epoch_id=0)
+    committed = sorted(r.key for r in idx.existing_sigs().collect())
+
+    # simulate the crash: copy epoch_0 as an uncommitted tmp dir in
+    # each subindex (same shape a mid-swap kill leaves behind)
+    for sub in ("sigs", "bands", "dropped"):
+        src = os.path.join(str(tmp_path / "idx"), sub, "epoch_0")
+        if os.path.isdir(src):
+            shutil.copytree(src, src + ".tmp-deadbeef")
+
+    # reads see only the committed rows — no doubled signatures
+    assert sorted(r.key for r in idx.existing_sigs().collect()) == committed
+    bands = idx.existing_bands().groupBy("key", "band_idx").count().collect()
+    assert all(r["count"] == 1 for r in bands)
+
+    # the next batch still dedups correctly against the clean view,
+    # and its add() sweeps the leftovers
+    b1 = spark.createDataFrame([_ev(10, "insert", "c9", 0, _BASE)], _EV)
+    kept1, n1 = idx.dedup_batch(b1, epoch_id=1)
+    assert kept1.count() == 0 and n1 == 1
+    leftovers = [
+        e.name
+        for sub in ("sigs", "bands", "dropped")
+        if os.path.isdir(os.path.join(str(tmp_path / "idx"), sub))
+        for e in os.scandir(os.path.join(str(tmp_path / "idx"), sub))
+        if ".tmp-" in e.name
+    ]
+    assert leftovers == []

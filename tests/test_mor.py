@@ -396,3 +396,38 @@ def test_concurrent_reads_and_sync_compacts_during_async_merges(spark, tmp_path)
         batch = df.filter((F.col("seq") >= e * per) & (F.col("seq") < (e + 1) * per))
         ref.merge(batch, epoch_id=e)
     assert sorted_state(t) == sorted_state(ref)
+
+
+def test_concurrent_same_epoch_delivery_applies_once(spark, tmp_path):
+    """Two threads delivering the SAME epoch concurrently: exactly
+    one applies. Without merge-level serialization both pass the
+    ledger check, race overwrites of the same deterministic delta
+    dir and double-commit the epoch (round-5 review)."""
+    import threading
+
+    for mode in ("mor", "cow"):
+        t = SnapshotTable(
+            spark, str(tmp_path / f"race_{mode}"), n_buckets=2, mode=mode
+        )
+        t.merge(
+            spark.createDataFrame([ev(0, "insert", "c1", 0, "v0", 0)], EVENT_SCHEMA),
+            epoch_id=0,
+        )
+        batch = spark.createDataFrame(
+            [ev(1, "update", "c1", 0, "v1", 5), ev(2, "insert", "c2", 0, "w", 6)],
+            EVENT_SCHEMA,
+        )
+        results = []
+        threads = [
+            threading.Thread(target=lambda: results.append(t.merge(batch, epoch_id=1)))
+            for _ in range(4)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert sorted(results) == [False, False, False, True], mode
+        # the epoch maps to exactly one version; state is the
+        # single-application result
+        assert sorted_state(t) == [("c1", 0, "v1"), ("c2", 0, "w")]
+        assert sum(1 for c in t.history() if c["epoch_id"] == 1) == 1

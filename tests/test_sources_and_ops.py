@@ -356,4 +356,17 @@ def test_table_path_fingerprint_invalidates(spark, tmp_path):
     p2 = td.table_path(spark, sf, "documents")
     assert p2 != p1
     assert spark.read.parquet(p2).count() == 25
-    assert not os.path.exists(p1)  # stale fingerprint swept
+    # mark-then-sweep: the stale copy is only MARKED at first — an
+    # in-flight query in another process may still be scanning it
+    assert os.path.exists(p1) and os.path.exists(p1 + ".stale")
+
+    # age the marker past the grace window; the next rebuild sweeps
+    os.utime(p1 + ".stale", (1, 1))
+    pd.DataFrame(
+        {"doc_id": pd.array(range(7), dtype="int64"), "v": 3}
+    ).to_parquet(src, index=False)
+    p3 = td.table_path(spark, sf, "documents")
+    assert spark.read.parquet(p3).count() == 7
+    assert not os.path.exists(p1) and not os.path.exists(p1 + ".stale")
+    assert os.path.exists(p2)  # newly stale: marked, not yet swept
+    assert os.path.exists(p2 + ".stale")
