@@ -20,6 +20,18 @@ from pyspark.sql import functions as F
 # Mersenne prime modulus for the universal-hash permutation family
 _P = (1 << 31) - 1
 
+#: DuckDB mirror of ``shingle_df``'s word-3gram distinct shingles —
+#: the ONE template every oracle formats (``{x}`` = text expression;
+#: empty below 3 words, range() is empty). Five oracle SQL blocks
+#: must stay bit-identical to the Spark shingles for their value
+#: hashes to hold; keeping one copy makes a semantics change a
+#: one-edit affair (round-5 review).
+SHINGLES_SQL = (
+    "list_distinct([string_split({x},' ')[i] || ' ' || "
+    "string_split({x},' ')[i+1] || ' ' || string_split({x},' ')[i+2] "
+    "for i in range(1, len(string_split({x},' ')) - 1)])"
+)
+
 
 def shingle_df(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3

@@ -29,6 +29,15 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 
+#: DuckDB mirror of ``char_bigrams_expr`` (``{x}`` = text expr) —
+#: the ONE template every oracle formats (round-5 review: one copy
+#: repo-wide, like ``dedup.SHINGLES_SQL``)
+BIGRAMS_SQL = (
+    "list_distinct([substr(lower({x}), i, 2) "
+    "for i in range(1, greatest(length({x}) - 1, 1) + 1)])"
+)
+
+
 def char_bigrams_expr(col: Column | str) -> Column:
     """Distinct character bigrams of the lowercased string (JVM).
 

@@ -391,8 +391,7 @@ _LANG_MARKERS = {
 }
 
 
-def _lang_hits_expr(lang: str):
-    toks = F.split(F.col("text"), " ")
+def _lang_hits_expr(toks, lang: str):
     total = F.lit(0)
     for m in _LANG_MARKERS[lang]:
         total = total + F.size(F.filter(toks, lambda x: x == F.lit(m)))
@@ -401,11 +400,19 @@ def _lang_hits_expr(lang: str):
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: stopword-marker voting (deterministic,
-    SQL-expressible so the oracle is exact)."""
+    SQL-expressible so the oracle is exact). The token array is
+    materialized in its OWN projection — inlining ``split(text)``
+    into each of the 16 marker filters re-splits the document per
+    filter (CollapseProject keeps a multi-referenced non-cheap
+    alias, so two selects = one split per row)."""
     docs = _read(spark, sf_dir, "documents", reshard=False)
-    scored = docs.select(
+    toked = docs.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
+    scored = toked.select(
         "doc_id",
-        *[_lang_hits_expr(lg).alias(f"hits_{lg}") for lg in _LANG_MARKERS],
+        *[
+            _lang_hits_expr(F.col("_toks"), lg).alias(f"hits_{lg}")
+            for lg in _LANG_MARKERS
+        ],
     )
     best = F.greatest(*[F.col(f"hits_{lg}") for lg in _LANG_MARKERS])
     pred = F.when(best == 0, F.lit("und"))
@@ -501,15 +508,12 @@ def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(shingle_df(docs), threshold=0.8, max_df=NGRAM_MAX_DF)
 
 
-_SHINGLE_CTE = """
+from kahi_spark.operators.dedup import SHINGLES_SQL as _SHINGLES_SQL  # noqa: E402
+
+_SHINGLE_CTE = f"""
 WITH s AS (
     SELECT doc_id,
-           list_distinct([
-               string_split(text,' ')[i] || ' ' ||
-               string_split(text,' ')[i+1] || ' ' ||
-               string_split(text,' ')[i+2]
-               for i in range(1, len(string_split(text,' ')) - 1)
-           ]) AS sh
+           {_SHINGLES_SQL.format(x="text")} AS sh
     FROM documents
 )"""
 
@@ -664,13 +668,12 @@ def q_fuzzy_title_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("probe_id", "cand_id", "score")
 
 
-ORACLE_FUZZY_TITLE_MATCH = """
+from kahi_spark.operators.fuzzy import BIGRAMS_SQL as _BIGRAMS_SQL  # noqa: E402
+
+ORACLE_FUZZY_TITLE_MATCH = f"""
 WITH bg AS (
     SELECT doc_id, lang, source,
-           list_distinct([
-               substr(lower(substr(text, 1, 60)), i, 2)
-               for i in range(1, greatest(length(substr(text, 1, 60)) - 1, 1) + 1)
-           ]) AS grams
+           {_BIGRAMS_SQL.format(x="substr(text, 1, 60)")} AS grams
     FROM documents
 ),
 scored AS (

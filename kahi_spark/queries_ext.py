@@ -750,10 +750,7 @@ WHERE key NOT IN (SELECT lower(c_name) FROM customer)
 # EP3: keyless-event resolution (blocked fuzzy join vs table state)
 # ---------------------------------------------------------------------------
 
-_BIGRAMS_SQL = (
-    "list_distinct([substr(lower({x}), i, 2) "
-    "for i in range(1, greatest(length({x}) - 1, 1) + 1)])"
-)
+from kahi_spark.operators.fuzzy import BIGRAMS_SQL as _BIGRAMS_SQL  # noqa: E402
 
 
 def q_keyless_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -779,12 +776,9 @@ def q_keyless_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolved.filter(F.col("seq") % 17 == 0).select("seq", "conv_id")
 
 
-#: word-3gram shingles (DuckDB); empty below 3 words (range() is empty)
-_SHINGLES_SQL = (
-    "list_distinct([string_split({x},' ')[i] || ' ' || "
-    "string_split({x},' ')[i+1] || ' ' || string_split({x},' ')[i+2] "
-    "for i in range(1, len(string_split({x},' ')) - 1)])"
-)
+#: word-3gram shingles (DuckDB) — the shared template beside
+#: ``shingle_df`` (one copy repo-wide; round-5 review)
+from kahi_spark.operators.dedup import SHINGLES_SQL as _SHINGLES_SQL  # noqa: E402
 
 #: portable 60-bit md5 hash of every feature (mirrors h60_md5_expr)
 _H60_LIST_SQL = "list_transform({ft}, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)"
@@ -1228,12 +1222,7 @@ def _oracle_simhash() -> str:
     return f"""
 WITH sh AS (
     SELECT doc_id,
-           list_distinct([
-               string_split(text,' ')[i] || ' ' ||
-               string_split(text,' ')[i+1] || ' ' ||
-               string_split(text,' ')[i+2]
-               for i in range(1, len(string_split(text,' ')) - 1)
-           ]) AS grams
+           {_SHINGLES_SQL.format(x="text")} AS grams
     FROM documents
 ),
 tok AS (SELECT doc_id, unnest(grams) AS tok FROM sh),
@@ -1286,12 +1275,7 @@ def _oracle_simhash_wide() -> str:
     return f"""
 WITH sh AS (
     SELECT doc_id,
-           list_distinct([
-               string_split(text,' ')[i] || ' ' ||
-               string_split(text,' ')[i+1] || ' ' ||
-               string_split(text,' ')[i+2]
-               for i in range(1, len(string_split(text,' ')) - 1)
-           ]) AS grams
+           {_SHINGLES_SQL.format(x="text")} AS grams
     FROM documents
 ),
 tok AS (SELECT doc_id, unnest(grams) AS tok FROM sh),
@@ -1738,14 +1722,21 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit runs / punctuation marks) vs whitespace tokens — the two
     counts a training-data pipeline tracks per document."""
     docs = _read(spark, sf_dir, "documents", reshard=False)
-    low = F.lower(F.col("text"))
-    bpe = F.regexp_extract_all(low, F.lit(_BPE_RE), 0)
-    ws = F.split(F.trim(low), r"\s+")
-    return docs.select(
+    # staged projections: the bpe array is consumed twice (size +
+    # distinct-size) and the lowered text three times — inlining them
+    # re-runs the regex / lower per consumer in one projection
+    # (CollapseProject keeps multi-referenced non-cheap aliases)
+    low = docs.select("doc_id", F.lower(F.col("text")).alias("_low"))
+    arrs = low.select(
         "doc_id",
-        F.size(bpe).alias("n_bpe_tokens"),
-        F.size(ws).alias("n_ws_tokens"),
-        F.size(F.array_distinct(bpe)).alias("n_bpe_distinct"),
+        F.regexp_extract_all(F.col("_low"), F.lit(_BPE_RE), 0).alias("_bpe"),
+        F.split(F.trim(F.col("_low")), r"\s+").alias("_ws"),
+    )
+    return arrs.select(
+        "doc_id",
+        F.size("_bpe").alias("n_bpe_tokens"),
+        F.size("_ws").alias("n_ws_tokens"),
+        F.size(F.array_distinct("_bpe")).alias("n_bpe_distinct"),
     )
 
 
@@ -1763,16 +1754,26 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword-token ratio (the filters a pretraining pipeline gates
     on). Pure JVM expressions; ratios rounded to 6 on both sides."""
     docs = _read(spark, sf_dir, "documents", reshard=False)
-    low = F.lower(F.col("text"))
-    n_chars = F.length(low)
-    n_punct = n_chars - F.length(F.regexp_replace(low, r"[^a-z0-9\s]", ""))
-    toks = F.split(F.trim(low), r"\s+")
-    sw = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
-    return docs.select(
+    # staged like q_token_bpe: lower once, then derive counts/tokens,
+    # then the ratios — not one projection re-lowering per consumer
+    low = docs.select("doc_id", F.lower(F.col("text")).alias("_low"))
+    staged = low.select(
         "doc_id",
-        n_chars.alias("n_chars"),
-        F.round(n_punct.cast("double") / n_chars, 6).alias("punct_ratio"),
-        F.round(sw.cast("double") / F.size(toks), 6).alias("stopword_ratio"),
+        F.length("_low").alias("_n_chars"),
+        (
+            F.length("_low")
+            - F.length(F.regexp_replace(F.col("_low"), r"[^a-z0-9\s]", ""))
+        ).alias("_n_punct"),
+        F.split(F.trim(F.col("_low")), r"\s+").alias("_toks"),
+    )
+    sw = F.size(F.filter(F.col("_toks"), lambda x: x.isin(*_STOPWORDS)))
+    return staged.select(
+        "doc_id",
+        F.col("_n_chars").alias("n_chars"),
+        F.round(F.col("_n_punct").cast("double") / F.col("_n_chars"), 6).alias(
+            "punct_ratio"
+        ),
+        F.round(sw.cast("double") / F.size("_toks"), 6).alias("stopword_ratio"),
     )
 
 

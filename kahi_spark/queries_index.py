@@ -91,15 +91,11 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_incremental_dedup() -> str:
-    from kahi_spark.operators.dedup import _P, minhash_coeffs
+    from kahi_spark.operators.dedup import _P, SHINGLES_SQL, minhash_coeffs
 
     coeffs = minhash_coeffs(N_HASHES, SEED)
-    # word-3gram distinct shingles (mirror of operators.dedup.shingle_df)
-    shingles = (
-        "list_distinct([string_split(text, ' ')[i] || ' ' || "
-        "string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2] "
-        "for i in range(1, len(string_split(text, ' ')) - 1)])"
-    )
+    # word-3gram distinct shingles (shared template beside shingle_df)
+    shingles = SHINGLES_SQL.format(x="text")
     # portable 60-bit md5 shingle hashes, mod p
     hs = f"list_transform({shingles}, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % {_P})"
     slots = ",\n           ".join(
