@@ -196,3 +196,58 @@ def test_merge_sql_bootstrap_insert_normalizes_union_arrays(spark):
     assert rows["k1"]["tags"] == ["a", "b"]  # sorted, deduped at insert
     assert rows["k5"]["_deleted"] is True  # delete inserts a tombstone
     assert set(rows) == {"k1", "k2", "k3", "k4", "k5"}
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 10_000),
+    cuts=st.lists(st.integers(1, 199), min_size=1, max_size=3, unique=True),
+    pol_role=st.sampled_from(["lww", "fill_empty"]),
+    pol_tool=st.sampled_from(["lww", "fill_empty"]),
+    pol_ts=st.sampled_from(["lww", "greatest"]),
+)
+def test_merge_sql_property_parity(spark, seed, cuts, pol_role, pol_tool, pol_ts):
+    """Fuzzed: ANY generated change log, ANY batch boundaries, ANY
+    policy assignment — chaining the emitted MERGE clauses through
+    the interpreter must reproduce merge_changes_into_state's final
+    state exactly (tombstones and system columns included)."""
+    from kahi_spark.gen import make_events
+    from kahi_spark.operators.merge import latest_change_per_key
+
+    pdf = make_events(200, n_convs=6, seed=seed)
+    keys = ["conv_id", "turn_idx"]
+    vals = ["role", "text", "tool", "ts"]
+    policies = {"role": pol_role, "tool": pol_tool, "ts": pol_ts}
+
+    bounds, prev, chunks = sorted(set(cuts)) + [len(pdf)], 0, []
+    for b in bounds:
+        if b > prev:
+            chunks.append(pdf.iloc[prev:b])
+        prev = b
+    reduced = [
+        latest_change_per_key(spark.createDataFrame(c), key_cols=keys)
+        for c in chunks
+    ]
+
+    df_state = state_from_reduced(reduced[0], key_cols=keys).select(
+        *keys, *vals, "_seq", "_deleted"
+    )
+    sql_state = df_state
+    clauses = merge_clauses(keys, vals, policies=policies)
+    for r in reduced[1:]:
+        df_state = merge_changes_into_state(
+            df_state, r, key_cols=keys, value_cols=vals, policies=policies
+        )
+        sql_state = _apply_merge_clauses(sql_state, r, clauses)
+
+    a = sorted(map(tuple, df_state.collect()))
+    b = sorted(map(tuple, sql_state.collect()))
+    assert a == b
