@@ -83,7 +83,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.continuous:
         pipe.run_continuous(timeout_s=args.timeout_s)  # None = run forever
     else:
-        pipe.run_until_idle(timeout_s=args.timeout_s or 3600.0)
+        # not `or`: an explicit --timeout-s 0 must mean 0, not 3600
+        pipe.run_until_idle(
+            timeout_s=3600.0 if args.timeout_s is None else args.timeout_s
+        )
     print(json.dumps({"epochs": pipe.metrics}))
     return 0
 

@@ -45,7 +45,7 @@ def get_spark(
         # MICROS anyway
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", mem)
         # -Xms=-Xmx + AlwaysPreTouch: fault every heap page in at JVM

@@ -97,7 +97,9 @@ def main():
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(app_name="scale_probe", master=f"local[{cpus}]",
                       shuffle_partitions=int(cpus))
-    tmp = "/tmp/kahi_scale_probe"
+    # size-keyed cache root: a rerun with different sizes must NOT
+    # silently reuse (and mis-report) the previous corpus/indexes
+    tmp = f"/tmp/kahi_scale_probe_{N_DOCS}_{N_VECS}"
     out = {"n_docs": N_DOCS, "n_vecs": N_VECS}
 
     docs_path, vecs_path = f"{tmp}/docs", f"{tmp}/vecs"
