@@ -370,3 +370,37 @@ def test_table_path_fingerprint_invalidates(spark, tmp_path):
     assert not os.path.exists(p1) and not os.path.exists(p1 + ".stale")
     assert os.path.exists(p2)  # newly stale: marked, not yet swept
     assert os.path.exists(p2 + ".stale")
+
+
+def test_video_raw_pixel_decode_exact(spark):
+    """Uncompressed rgb24 frames decode to EXACT construction-time
+    channel means via the real stsd/stsz/stsc/stco sample walk;
+    avc1 frames locate (row per sampled frame) but carry NULL pixel
+    stats — the compressed-bitstream stub stays honest and visible."""
+    from kahi_spark.operators.multimodal import (
+        decode_video_frames,
+        make_raw_video_assets,
+    )
+
+    assets, expected = make_raw_video_assets(spark, n=5, frames_per=9)
+    got = decode_video_frames(assets, every_n=2).toPandas()
+    exp = expected[expected["frame_idx"] % 2 == 0].reset_index(drop=True)
+
+    key = ["asset_id", "frame_idx"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(exp) == 5 * 5  # 9 frames, every 2nd → 5
+    assert got["codec"].tolist() == exp["codec"].tolist()
+    assert got["width"].tolist() == exp["width"].tolist()
+    for ch in ("mean_r", "mean_g", "mean_b"):
+        g, e = got[ch], exp[ch]
+        assert (g.isna() == e.isna()).all()
+        assert (g.dropna() == e.dropna()).all(), ch  # exact, not approx
+    # the avc1 asset is the NULL-stats one
+    avc = got[got["codec"] == "avc1"]
+    assert len(avc) == 5 and avc["mean_r"].isna().all()
+    # legacy metadata-only MP4s (no sample table) emit nothing
+    from kahi_spark.operators.multimodal import make_real_assets
+
+    legacy = make_real_assets(spark, n=4, n_video=2)
+    assert decode_video_frames(legacy, every_n=1).count() == 0
