@@ -8,13 +8,15 @@ signatures, partition sizing — is real and tested. Two decode paths:
   (PNG IHDR, BMP BITMAPINFOHEADER, GIF logical screen descriptor,
   WAV fmt chunk): extracts real width/height (sample-rate/channels
   for WAV) from real payload bytes with no external libraries.
-  PCM audio samples (``sample_audio_frames``) and uncompressed
-  rgb24 video pixels (``decode_video_frames`` via the full
+  PCM audio samples (``sample_audio_frames``), PNG rgb8 / BMP
+  24bpp image pixels (``decode_image_pixels``: zlib inflate + the
+  five spec unfilters / padded-BGR rows) and uncompressed rgb24
+  video pixels (``decode_video_frames`` via the full
   stsd/stsz/stsc/stco sample walk) decode for real too; the ONE
-  remaining stub is compressed bitstreams (JPEG/H.264/AAC …),
-  which need codec libs (PIL/libvips/torchaudio) this container
-  lacks — swapping them in only changes ``_parse_header`` / the
-  per-frame branch of ``decode_video_frames``.
+  remaining stub is entropy-coded bitstreams (JPEG/GIF-LZW/
+  H.264/AAC …), which need codec libs (PIL/libvips/torchaudio)
+  this container lacks — swapping them in only changes the
+  per-payload branch of the decode operators.
 * default — a deterministic fake decoder kept for synthetic-payload
   tests and throughput benchmarks of the Arrow path.
 
@@ -268,6 +270,171 @@ def frame_sample_plan(
             )
 
     return vids.mapInPandas(plan, schema=schema)
+
+
+def _png_pixels(b: bytes):
+    """REAL PNG pixel decode for 8-bit truecolor, pure stdlib+numpy:
+    chunk walk → IHDR sanity → concatenated IDAT → ``zlib.inflate``
+    → per-row unfilter (all five spec filter types — None/Sub/Up/
+    Average/Paeth). Returns (h, w, 3) uint8 or None for anything but
+    non-interlaced rgb8 (palette/alpha/16-bit stay out of scope).
+    The Sub/Average/Paeth scan is sequential per pixel BY SPEC (each
+    byte's predictor uses the reconstructed left neighbor)."""
+    import numpy as np
+
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, w = 8, None
+    h = None
+    idat = b""
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            return None
+        if typ == b"IHDR":
+            if ln < 13:
+                return None
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bitdepth, colortype, _comp, _filt, interlace = data[8:13]
+            if bitdepth != 8 or colortype != 2 or interlace != 0:
+                return None
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # len + type + data + crc
+    if not (w and h and idat):
+        return None
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    stride = w * 3
+    if len(raw) < h * (1 + stride):
+        return None
+    out = np.zeros((h, stride), dtype=np.int64)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int64)
+        pos += 1 + stride
+        above = out[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        if f == 0:
+            cur = row
+        elif f == 2:
+            cur = (row + above) % 256
+        elif f in (1, 3, 4):
+            cur = np.empty(stride, dtype=np.int64)
+            for i in range(stride):
+                left = cur[i - 3] if i >= 3 else 0
+                up = int(above[i])
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) // 2
+                else:
+                    ul = int(out[y - 1][i - 3]) if (y and i >= 3) else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                cur[i] = (row[i] + pred) % 256
+        else:
+            return None  # invalid filter type
+        out[y] = cur
+    return out.astype(np.uint8).reshape(h, w, 3)
+
+
+def _bmp_pixels(b: bytes):
+    """REAL BMP pixel decode: 24bpp uncompressed BITMAPINFOHEADER —
+    bottom-up (or top-down, negative height) BGR rows padded to 4
+    bytes. Returns (h, w, 3) uint8 RGB or None."""
+    import numpy as np
+
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    data_off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little")
+    h_raw = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or compression != 0 or w <= 0 or h_raw == 0:
+        return None
+    h = abs(h_raw)
+    row_sz = (w * 3 + 3) // 4 * 4
+    if data_off + row_sz * h > len(b):
+        return None
+    rows = []
+    for y in range(h):
+        src = h - 1 - y if h_raw > 0 else y  # bottom-up unless negative
+        off = data_off + src * row_sz
+        bgr = np.frombuffer(b, np.uint8, w * 3, off).reshape(w, 3)
+        rows.append(bgr[:, ::-1])  # BGR → RGB
+    return np.stack(rows)
+
+
+IMAGE_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_image_pixels(df: DataFrame) -> DataFrame:
+    """Image PIXEL decode (not just headers): PNG rgb8 (inflate +
+    unfilter) and BMP 24bpp decode for real; entropy-coded formats
+    (JPEG/GIF-LZW) emit their header dims with NULL pixel stats —
+    the remaining honest stub, same contract as
+    ``decode_video_frames`` for compressed video."""
+
+    imgs = df.filter(F.col("kind") == "image")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                if b[:8] == b"\x89PNG\r\n\x1a\n":
+                    fmt, px = "png", _png_pixels(b)
+                elif b[:2] == b"BM":
+                    fmt, px = "bmp", _bmp_pixels(b)
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    fmt, px = "gif", None
+                else:
+                    fmt, px = None, None
+                _n, w, h = _parse_header(b)
+                if px is None:
+                    rows.append((aid, fmt, w, h, None, None, None))
+                else:
+                    m = px.reshape(-1, 3).mean(axis=0)
+                    rows.append(
+                        (aid, fmt, w, h, float(m[0]), float(m[1]), float(m[2]))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "fmt", "width", "height",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            ).astype(
+                {
+                    "asset_id": "int64", "fmt": "object",
+                    "width": "Int32", "height": "Int32",
+                    "mean_r": "float64", "mean_g": "float64", "mean_b": "float64",
+                }
+            )
+
+    return imgs.mapInPandas(decode, schema=IMAGE_PIXEL_SCHEMA)
 
 
 def _mp4_sample_table(
@@ -601,6 +768,112 @@ def _mp4_raw_bytes(
 
     data_off = len(ftyp) + len(moov_with(0)) + 8  # mdat payload start
     return ftyp + moov_with(data_off) + _box(b"mdat", b"".join(frames))
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        len(data).to_bytes(4, "big") + typ + data
+        + zlib.crc32(typ + data).to_bytes(4, "big")
+    )
+
+
+def _png_full_bytes(px, filters: list[int] | None = None) -> bytes:
+    """Full valid PNG (rgb8, non-interlaced) from an (h, w, 3) uint8
+    array: per-row spec filtering (the row's filter type cycles
+    through ``filters``, default all five) → zlib → IDAT. Exercises
+    every unfilter branch of ``_png_pixels``."""
+    import numpy as np
+
+    h, w, _ = px.shape
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    flat = px.reshape(h, w * 3).astype(np.int64)
+    filters = filters or [0, 1, 2, 3, 4]
+    raw = bytearray()
+    zero3 = np.zeros(3, dtype=np.int64)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = flat[y]
+        above = flat[y - 1] if y else np.zeros(w * 3, dtype=np.int64)
+        left = np.concatenate([zero3, cur[:-3]])
+        ul = np.concatenate([zero3, above[:-3]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = (cur - left) % 256
+        elif f == 2:
+            enc = (cur - above) % 256
+        elif f == 3:
+            enc = (cur - (left + above) // 2) % 256
+        else:
+            p = left + above - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - above), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, above, ul))
+            enc = (cur - pred) % 256
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _bmp_full_bytes(px) -> bytes:
+    """Full valid 24bpp BMP from an (h, w, 3) uint8 RGB array:
+    bottom-up BGR rows padded to 4 bytes."""
+    h, w, _ = px.shape
+    row_sz = (w * 3 + 3) // 4 * 4
+    data = bytearray()
+    for y in range(h - 1, -1, -1):
+        data.extend(px[y][:, ::-1].tobytes())
+        data.extend(bytes(row_sz - w * 3))
+    info = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + bytes(24)
+    )
+    header = (
+        b"BM" + (54 + len(data)).to_bytes(4, "little") + bytes(4)
+        + (54).to_bytes(4, "little")
+    )
+    return header + info + bytes(data)
+
+
+def make_pixel_image_assets(spark, n: int = 8):
+    """Deterministic image assets WITH pixel payloads + construction-
+    time ground truth (means computed from the arrays fed into the
+    encoders): PNGs cycling all five filter types, BMPs, and one
+    header-only GIF whose pixel stats must come back NULL."""
+    import numpy as np
+
+    rows, recs = [], []
+    for i in range(n):
+        w, h = 5 + (i * 7) % 28, 4 + (i * 5) % 21
+        px = ((np.arange(h * w * 3, dtype=np.int64) * (i + 3) + 11 * i) % 256).astype(
+            np.uint8
+        ).reshape(h, w, 3)
+        if i == n - 1:
+            payload, fmt, means = _gif_bytes(w, h), "gif", (None, None, None)
+        elif i % 2 == 0:
+            payload, fmt = _png_full_bytes(px), "png"
+            m = px.reshape(-1, 3).mean(axis=0)
+            means = (float(m[0]), float(m[1]), float(m[2]))
+        else:
+            payload, fmt = _bmp_full_bytes(px), "bmp"
+            m = px.reshape(-1, 3).mean(axis=0)
+            means = (float(m[0]), float(m[1]), float(m[2]))
+        rows.append((i, "image", payload, f"image/{fmt}", {"fmt": fmt}))
+        recs.append(
+            {
+                "asset_id": i, "fmt": fmt, "width": w, "height": h,
+                "mean_r": means[0], "mean_g": means[1], "mean_b": means[2],
+            }
+        )
+    return spark.createDataFrame(rows, ASSET_SCHEMA), pd.DataFrame(recs)
 
 
 def make_raw_video_assets(spark, n: int = 6, frames_per: int = 9):

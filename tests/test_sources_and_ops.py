@@ -404,3 +404,42 @@ def test_video_raw_pixel_decode_exact(spark):
 
     legacy = make_real_assets(spark, n=4, n_video=2)
     assert decode_video_frames(legacy, every_n=1).count() == 0
+
+
+def test_image_pixel_decode_exact(spark):
+    """PNG rgb8 (all five filter types) and BMP 24bpp pixels decode
+    to EXACT construction-time channel means with stdlib zlib +
+    numpy only; the entropy-coded GIF keeps header dims but NULL
+    pixel stats (the remaining honest stub)."""
+    from kahi_spark.operators.multimodal import (
+        decode_image_pixels,
+        make_pixel_image_assets,
+    )
+
+    assets, expected = make_pixel_image_assets(spark, n=9)
+    got = (
+        decode_image_pixels(assets)
+        .toPandas()
+        .sort_values("asset_id")
+        .reset_index(drop=True)
+    )
+    exp = expected.sort_values("asset_id").reset_index(drop=True)
+    assert got["fmt"].tolist() == exp["fmt"].tolist()
+    assert got["width"].tolist() == exp["width"].tolist()
+    assert got["height"].tolist() == exp["height"].tolist()
+    for ch in ("mean_r", "mean_g", "mean_b"):
+        g, e = got[ch], exp[ch]
+        assert (g.isna() == e.isna()).all()
+        assert (g.dropna() == e.dropna()).all(), ch  # exact
+    assert got[got["fmt"] == "gif"]["mean_r"].isna().all()
+    assert len(got[got["fmt"] == "png"]) >= 4  # filter cycle covered
+
+    # malformed payloads must not crash the batch
+    bad = spark.createDataFrame(
+        [(100, "image", b"\x89PNG\r\n\x1a\ngarbage", "image/png", None),
+         (101, "image", None, None, None),
+         (102, "image", b"BMxx", "image/bmp", None)],
+        assets.schema,
+    )
+    rows = decode_image_pixels(bad).collect()
+    assert all(r.mean_r is None for r in rows)
