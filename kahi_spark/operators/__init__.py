@@ -34,6 +34,13 @@ from kahi_spark.operators.merge import (
     priority_merge,
     reduce_events_to_state,
 )
+from kahi_spark.operators.multimodal import (
+    decode_image_batch,
+    decode_image_pixels,
+    decode_video_frames,
+    frame_sample_plan,
+    sample_audio_frames,
+)
 from kahi_spark.operators.similarity import (
     cosine_pairs,
     ivf_centroids,
@@ -72,6 +79,11 @@ __all__ = [
     "latest_change_per_key",
     "merge_changes_into_state",
     "normalize_events",
+    "decode_image_batch",
+    "decode_image_pixels",
+    "decode_video_frames",
+    "frame_sample_plan",
+    "sample_audio_frames",
     "priority_merge",
     "reduce_events_to_state",
     "cosine_pairs",
