@@ -9,14 +9,14 @@ signatures, partition sizing — is real and tested. Two decode paths:
   WAV fmt chunk): extracts real width/height (sample-rate/channels
   for WAV) from real payload bytes with no external libraries.
   PCM audio samples (``sample_audio_frames``), PNG rgb8 / BMP
-  24bpp image pixels (``decode_image_pixels``: zlib inflate + the
-  five spec unfilters / padded-BGR rows) and uncompressed rgb24
-  video pixels (``decode_video_frames`` via the full
-  stsd/stsz/stsc/stco sample walk) decode for real too; the ONE
-  remaining stub is entropy-coded bitstreams (JPEG/GIF-LZW/
-  H.264/AAC …), which need codec libs (PIL/libvips/torchaudio)
-  this container lacks — swapping them in only changes the
-  per-payload branch of the decode operators.
+  24bpp / GIF image pixels (``decode_image_pixels``: zlib inflate
+  + the five spec unfilters, padded-BGR rows, a full pure-Python
+  GIF-LZW decoder + palette lookup) and uncompressed rgb24 video
+  pixels (``decode_video_frames`` via the full stsd/stsz/stsc/stco
+  sample walk) decode for real too; the ONE remaining stub is true
+  DSP codecs (JPEG/H.264/AAC …), which need codec libs
+  (PIL/libvips/torchaudio) this container lacks — swapping them in
+  only changes the per-payload branch of the decode operators.
 * default — a deterministic fake decoder kept for synthetic-payload
   tests and throughput benchmarks of the Arrow path.
 
@@ -375,6 +375,153 @@ def _bmp_pixels(b: bytes):
     return np.stack(rows)
 
 
+def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int] | None:
+    """GIF-flavor LZW (variable code width, LSB-first bit order,
+    clear/end codes, 12-bit cap): data → palette index stream. Pure
+    Python — LZW is a dictionary coder, not a DSP codec, so no
+    external library is involved."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    base = [[i] for i in range(clear)] + [None, None]
+    table = list(base)
+    width = min_code_size + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return out  # truncated stream: emit what we have
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]  # the KwKwK case
+        else:
+            return None  # corrupt code
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _gif_lzw_encode(min_code_size: int, indices: list[int]) -> bytes:
+    """Real (dictionary-building) GIF LZW encoder for the fixture
+    builder — so the decoder's growth path is exercised, not just
+    literals. Emits clear, codes, end with growing code width."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    run: tuple[int, ...] = ()
+    for idx in indices:
+        cand = run + (idx,)
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run])
+        if next_code < 4096:
+            table[cand] = next_code
+            # the decoder's dictionary lags one code behind the
+            # encoder's, so the encoder widens when the JUST-ASSIGNED
+            # code equals 1<<width — exactly when the decoder's table
+            # reaches 2^width entries between reads
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        run = (idx,)
+    if run:
+        emit(table[run])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_pixels(b: bytes):
+    """REAL GIF pixel decode: logical screen descriptor → global/
+    local color table → first image descriptor → LZW-decompressed
+    index stream → palette lookup. Non-interlaced only. Returns
+    (h, w, 3) uint8 RGB or None."""
+    import numpy as np
+
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(b):
+        blk = b[pos]
+        if blk == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif blk == 0x2C:  # image descriptor
+            if pos + 10 > len(b):
+                return None
+            w = int.from_bytes(b[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(b[pos + 7 : pos + 9], "little")
+            ipacked = b[pos + 9]
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if ipacked & 0x40 or pal is None or pos >= len(b):
+                return None  # interlaced / no palette
+            min_code = b[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                data.extend(b[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = _gif_lzw_decode(min_code, bytes(data))
+            if idx is None or len(idx) < w * h:
+                return None
+            arr = np.asarray(idx[: w * h], dtype=np.int64)
+            if (arr >= len(pal)).any():
+                return None
+            return pal[arr].reshape(h, w, 3)
+        elif blk == 0x3B:
+            return None  # trailer before any image
+        else:
+            return None
+    return None
+
+
 IMAGE_PIXEL_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType(), False),
@@ -390,9 +537,10 @@ IMAGE_PIXEL_SCHEMA = T.StructType(
 
 def decode_image_pixels(df: DataFrame) -> DataFrame:
     """Image PIXEL decode (not just headers): PNG rgb8 (inflate +
-    unfilter) and BMP 24bpp decode for real; entropy-coded formats
-    (JPEG/GIF-LZW) emit their header dims with NULL pixel stats —
-    the remaining honest stub, same contract as
+    unfilter), BMP 24bpp, and GIF (real LZW + palette) decode for
+    real; formats needing a true DSP codec (JPEG) — or undecodable
+    payloads (metadata-only / truncated / interlaced) — emit their
+    header dims with NULL pixel stats, same contract as
     ``decode_video_frames`` for compressed video."""
 
     imgs = df.filter(F.col("kind") == "image")
@@ -409,7 +557,7 @@ def decode_image_pixels(df: DataFrame) -> DataFrame:
                 elif b[:2] == b"BM":
                     fmt, px = "bmp", _bmp_pixels(b)
                 elif b[:6] in (b"GIF87a", b"GIF89a"):
-                    fmt, px = "gif", None
+                    fmt, px = "gif", _gif_pixels(b)
                 else:
                     fmt, px = None, None
                 _n, w, h = _parse_header(b)
@@ -843,29 +991,65 @@ def _bmp_full_bytes(px) -> bytes:
     return header + info + bytes(data)
 
 
+def _gif_full_bytes(pal, indices, w: int, h: int) -> bytes:
+    """Full valid GIF89a from a (n, 3) uint8 palette and a w*h index
+    list: logical screen descriptor + global color table + image
+    descriptor + real LZW-compressed index stream in ≤255-byte
+    sub-blocks."""
+    k = max(1, (len(pal) - 1).bit_length() - 1)  # GCT size: 2^(k+1)
+    n_slots = 2 << k
+    min_code = max(2, (n_slots - 1).bit_length())
+    gct = bytearray()
+    for r, g, b2 in pal:
+        gct += bytes((int(r), int(g), int(b2)))
+    gct += bytes(3 * (n_slots - len(pal)))  # pad table to 2^(k+1)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | k, 0, 0])  # GCT flag+size, bg index, aspect
+    out += gct
+    out += b"\x2c" + bytes(4) + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0])  # no LCT, not interlaced
+    out += bytes([min_code])
+    lzw = _gif_lzw_encode(min_code, list(indices))
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def make_pixel_image_assets(spark, n: int = 8):
     """Deterministic image assets WITH pixel payloads + construction-
     time ground truth (means computed from the arrays fed into the
-    encoders): PNGs cycling all five filter types, BMPs, and one
-    header-only GIF whose pixel stats must come back NULL."""
+    encoders): PNGs cycling all five filter types, BMPs, real
+    LZW-coded GIFs, and one header-only GIF whose pixel stats must
+    come back NULL (the undecodable-payload contract)."""
     import numpy as np
 
     rows, recs = [], []
     for i in range(n):
         w, h = 5 + (i * 7) % 28, 4 + (i * 5) % 21
-        px = ((np.arange(h * w * 3, dtype=np.int64) * (i + 3) + 11 * i) % 256).astype(
-            np.uint8
-        ).reshape(h, w, 3)
         if i == n - 1:
             payload, fmt, means = _gif_bytes(w, h), "gif", (None, None, None)
-        elif i % 2 == 0:
-            payload, fmt = _png_full_bytes(px), "png"
+        elif i % 3 == 2:
+            pal = ((np.arange(64 * 3, dtype=np.int64) * (i + 7)) % 256).astype(
+                np.uint8
+            ).reshape(64, 3)
+            idx = [(j * (i + 2) + i) % 64 for j in range(w * h)]
+            payload, fmt = _gif_full_bytes(pal, idx, w, h), "gif"
+            px = pal[np.asarray(idx)].reshape(h, w, 3)
             m = px.reshape(-1, 3).mean(axis=0)
             means = (float(m[0]), float(m[1]), float(m[2]))
         else:
-            payload, fmt = _bmp_full_bytes(px), "bmp"
+            px = (
+                (np.arange(h * w * 3, dtype=np.int64) * (i + 3) + 11 * i) % 256
+            ).astype(np.uint8).reshape(h, w, 3)
             m = px.reshape(-1, 3).mean(axis=0)
             means = (float(m[0]), float(m[1]), float(m[2]))
+            if i % 3 == 0:
+                payload, fmt = _png_full_bytes(px), "png"
+            else:
+                payload, fmt = _bmp_full_bytes(px), "bmp"
         rows.append((i, "image", payload, f"image/{fmt}", {"fmt": fmt}))
         recs.append(
             {

@@ -407,16 +407,17 @@ def test_video_raw_pixel_decode_exact(spark):
 
 
 def test_image_pixel_decode_exact(spark):
-    """PNG rgb8 (all five filter types) and BMP 24bpp pixels decode
-    to EXACT construction-time channel means with stdlib zlib +
-    numpy only; the entropy-coded GIF keeps header dims but NULL
-    pixel stats (the remaining honest stub)."""
+    """PNG rgb8 (all five filter types), BMP 24bpp and GIF (real
+    LZW + palette) pixels decode to EXACT construction-time channel
+    means with stdlib zlib + numpy only; a metadata-only GIF keeps
+    header dims but NULL pixel stats (the undecodable-payload
+    contract)."""
     from kahi_spark.operators.multimodal import (
         decode_image_pixels,
         make_pixel_image_assets,
     )
 
-    assets, expected = make_pixel_image_assets(spark, n=9)
+    assets, expected = make_pixel_image_assets(spark, n=10)
     got = (
         decode_image_pixels(assets)
         .toPandas()
@@ -431,8 +432,11 @@ def test_image_pixel_decode_exact(spark):
         g, e = got[ch], exp[ch]
         assert (g.isna() == e.isna()).all()
         assert (g.dropna() == e.dropna()).all(), ch  # exact
-    assert got[got["fmt"] == "gif"]["mean_r"].isna().all()
-    assert len(got[got["fmt"] == "png"]) >= 4  # filter cycle covered
+    # all three real-pixel formats present; only the header-only GIF
+    # (last asset) comes back NULL
+    assert set(got["fmt"]) == {"png", "bmp", "gif"}
+    assert got["mean_r"].isna().sum() == 1
+    assert got["mean_r"].isna().iloc[-1]
 
     # malformed payloads must not crash the batch
     bad = spark.createDataFrame(
@@ -443,3 +447,29 @@ def test_image_pixel_decode_exact(spark):
     )
     rows = decode_image_pixels(bad).collect()
     assert all(r.mean_r is None for r in rows)
+
+
+def test_gif_lzw_roundtrip_fuzz():
+    """Pure-Python GIF LZW: encoder→decoder round-trips random index
+    streams at every min-code-size, plus repetitive streams that
+    drive deep dictionary growth, width changes and the KwKwK case.
+    No Spark — this pins the codec itself."""
+    import numpy as np
+
+    from kahi_spark.operators.multimodal import _gif_lzw_decode, _gif_lzw_encode
+
+    rng = np.random.default_rng(3)
+    for _ in range(120):
+        mcs = int(rng.integers(2, 9))
+        n = int(rng.integers(1, 3000))
+        idx = rng.integers(0, 1 << mcs, n).tolist()
+        assert _gif_lzw_decode(mcs, _gif_lzw_encode(mcs, idx)) == idx
+    for mcs in (2, 4, 8):
+        idx = ([1, 1, 1, 1, 2, 2, 2, 1, 1, 1] * 3000)[:25000]
+        assert _gif_lzw_decode(mcs, _gif_lzw_encode(mcs, idx)) == idx
+    assert _gif_lzw_decode(4, b"") == []
+    # garbage must not raise: either a corrupt-stream None or a
+    # best-effort prefix is acceptable
+    assert _gif_lzw_decode(4, b"\xff\xff") in (None, []) or isinstance(
+        _gif_lzw_decode(4, b"\xff\xff"), list
+    )
