@@ -39,6 +39,7 @@ from kahi_spark.operators.multimodal import (
     decode_image_pixels,
     decode_video_frames,
     frame_sample_plan,
+    resize_images,
     sample_audio_frames,
 )
 from kahi_spark.operators.similarity import (
@@ -83,6 +84,7 @@ __all__ = [
     "decode_image_pixels",
     "decode_video_frames",
     "frame_sample_plan",
+    "resize_images",
     "sample_audio_frames",
     "priority_merge",
     "reduce_events_to_state",

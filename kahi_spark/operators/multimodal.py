@@ -552,14 +552,7 @@ def decode_image_pixels(df: DataFrame) -> DataFrame:
                 if payload is None:
                     continue
                 b = bytes(payload)
-                if b[:8] == b"\x89PNG\r\n\x1a\n":
-                    fmt, px = "png", _png_pixels(b)
-                elif b[:2] == b"BM":
-                    fmt, px = "bmp", _bmp_pixels(b)
-                elif b[:6] in (b"GIF87a", b"GIF89a"):
-                    fmt, px = "gif", _gif_pixels(b)
-                else:
-                    fmt, px = None, None
+                fmt, px = _decode_any_image(b)
                 _n, w, h = _parse_header(b)
                 if px is None:
                     rows.append((aid, fmt, w, h, None, None, None))
@@ -583,6 +576,77 @@ def decode_image_pixels(df: DataFrame) -> DataFrame:
             )
 
     return imgs.mapInPandas(decode, schema=IMAGE_PIXEL_SCHEMA)
+
+
+def _decode_any_image(b: bytes):
+    """Shared per-format pixel dispatch: (fmt, (h, w, 3) array or
+    None)."""
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png", _png_pixels(b)
+    if b[:2] == b"BM":
+        return "bmp", _bmp_pixels(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif", _gif_pixels(b)
+    return None, None
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("src_width", T.IntegerType(), True),
+        T.StructField("src_height", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("pixels", T.BinaryType(), True),  # raw rgb24
+    ]
+)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Image RESIZE (the decode/feature-extract/resize/frame-sample
+    op family): decode (PNG/BMP/GIF, the real pixel paths) →
+    nearest-neighbor resample to (out_w, out_h) with the floor
+    index map ``src_i = floor(i * src / out)`` → raw rgb24 bytes
+    out. Deterministic and engine-independent, so tests mirror the
+    arithmetic exactly. Undecodable payloads emit NULL pixels with
+    their header dims, same contract as ``decode_image_pixels``."""
+    import numpy as np
+
+    imgs = df.filter(F.col("kind") == "image")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                fmt, px = _decode_any_image(b)
+                _n, sw, sh = _parse_header(b)
+                if px is None:
+                    rows.append((aid, fmt, sw, sh, out_w, out_h, None))
+                    continue
+                h, w, _ = px.shape
+                yi = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                xi = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                res = px[yi][:, xi]
+                rows.append((aid, fmt, w, h, out_w, out_h, res.tobytes()))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "fmt", "src_width", "src_height",
+                    "width", "height", "pixels",
+                ],
+            ).astype(
+                {
+                    "asset_id": "int64", "fmt": "object",
+                    "src_width": "Int32", "src_height": "Int32",
+                    "width": "int32", "height": "int32", "pixels": "object",
+                }
+            )
+
+    return imgs.mapInPandas(resize, schema=RESIZED_SCHEMA)
 
 
 def _mp4_sample_table(

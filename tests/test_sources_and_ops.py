@@ -473,3 +473,49 @@ def test_gif_lzw_roundtrip_fuzz():
     assert _gif_lzw_decode(4, b"\xff\xff") in (None, []) or isinstance(
         _gif_lzw_decode(4, b"\xff\xff"), list
     )
+
+
+def test_resize_images_nearest_exact(spark):
+    """Nearest-neighbor resize over the real decode paths: the
+    output raw rgb24 bytes equal the floor-index resample of the
+    construction pixel arrays for PNG, BMP and GIF alike; the
+    header-only GIF emits NULL pixels with its header dims."""
+    import numpy as np
+
+    from kahi_spark.operators.multimodal import (
+        make_pixel_image_assets,
+        resize_images,
+    )
+
+    assets, _ = make_pixel_image_assets(spark, n=10)
+    OW, OH = 7, 5
+    got = {r.asset_id: r for r in resize_images(assets, OW, OH).collect()}
+    assert len(got) == 10
+
+    # mirror the construction arrays (same formulas as the builder)
+    for i in range(10):
+        r = got[i]
+        assert (r.width, r.height) == (OW, OH)
+        if i == 9:  # header-only GIF
+            assert r.pixels is None and r.fmt == "gif"
+            continue
+        w, h = 5 + (i * 7) % 28, 4 + (i * 5) % 21
+        if i % 3 == 2:  # gif: palette indices
+            pal = ((np.arange(64 * 3, dtype=np.int64) * (i + 7)) % 256).astype(
+                np.uint8
+            ).reshape(64, 3)
+            idx = [(j * (i + 2) + i) % 64 for j in range(w * h)]
+            px = pal[np.asarray(idx)].reshape(h, w, 3)
+        else:
+            px = (
+                (np.arange(h * w * 3, dtype=np.int64) * (i + 3) + 11 * i) % 256
+            ).astype(np.uint8).reshape(h, w, 3)
+        yi = (np.arange(OH, dtype=np.int64) * h) // OH
+        xi = (np.arange(OW, dtype=np.int64) * w) // OW
+        exp = px[yi][:, xi]
+        assert (r.src_width, r.src_height) == (w, h), i
+        assert bytes(r.pixels) == exp.tobytes(), i
+    # identity resize reproduces the source exactly
+    same = resize_images(assets.filter("asset_id = 0"), 5, 4).collect()[0]
+    src = ((np.arange(4 * 5 * 3, dtype=np.int64) * 3) % 256).astype(np.uint8)
+    assert bytes(same.pixels) == src.tobytes()
