@@ -301,10 +301,63 @@ def run_pipeline_throughput(tmp: str, n_events: int = 4_000_000, n_epochs: int =
     }
 
 
+class _StealSampler:
+    """Samples /proc/stat every 2 s for the whole bench run so the
+    emitted JSON carries its OWN environmental attribution: this
+    Firecracker VM oscillates between 0-2% and 15-26% hypervisor
+    steal on minute scales, which swings the full-bench band
+    ~23-30 s / 0.50-0.96 scaling with identical code (BASELINE.md
+    "Hypervisor steal", measured directly). `active` restricts to
+    samples where the box was actually working (user+system > 20%)
+    — steal only manifests under load."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self.samples: list[tuple[float, float, float]] = []
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    @staticmethod
+    def _read() -> list[int]:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:9]]
+
+    def _run(self) -> None:
+        prev = self._read()
+        while not self._stop.wait(2.0):
+            cur = self._read()
+            d = [c - p for c, p in zip(cur, prev)]
+            prev = cur
+            tot = sum(d) or 1
+            # (user, system, steal) fractions of this 2 s window
+            self.samples.append((d[0] / tot, d[2] / tot, d[7] / tot))
+
+    def start(self) -> "_StealSampler":
+        try:
+            self._read()
+        except OSError:
+            return self  # no /proc/stat: report nothing
+        self._thread.start()
+        return self
+
+    def report(self) -> dict:
+        self._stop.set()
+        act = [s for s in self.samples if s[0] + s[1] > 0.2]
+        if not act:
+            return {}
+        return {
+            "steal_pct_mean_active": round(100 * sum(s[2] for s in act) / len(act), 1),
+            "steal_pct_max": round(100 * max(s[2] for s in self.samples), 1),
+            "active_samples": len(act),
+        }
+
+
 def main() -> None:
     tmp = "/tmp/kahi_bench"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
+    steal = _StealSampler().start()
 
     # scaling FIRST: the north-rule metric must get both interleaved
     # rounds before the soft deadline can trim anything
@@ -346,6 +399,7 @@ def main() -> None:
                 "sf": sf_from_dir(SF_DIR),
                 "pipeline": pipeline,
                 "scaling": scaling,
+                "env": steal.report(),
             }
         )
     )
