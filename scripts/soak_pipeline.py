@@ -34,6 +34,7 @@ def main() -> None:
     from kahi_spark.sinks.snapshot import SnapshotTable
     from kahi_spark.streaming.pipeline import CdcPipeline
 
+    steal = bench._StealSampler().start()
     cpus = int(sys.argv[3]) if len(sys.argv) > 3 else bench.CPUS
     compact_async = len(sys.argv) > 4 and sys.argv[4] == "async"
     strategy = sys.argv[5] if len(sys.argv) > 5 else "auto"
@@ -85,6 +86,10 @@ def main() -> None:
             for c in table.history()
             if c["op"] == "compact"
         ],
+        # measured hypervisor-steal for this run (bench._StealSampler):
+        # this box swings 0-26% on minute scales — attribute before
+        # comparing soaks across windows
+        "env": steal.report(),
     }
     print(json.dumps(out))
 
