@@ -67,8 +67,14 @@ def conversation_stats_exact(transcripts: DataFrame) -> DataFrame:
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["turn_idx", "ts"])
-        ns = pdf["ts"].astype("int64")  # ns since epoch (Arrow datetime64[ns])
-        gaps_us = (ns.diff().dropna() // 1000).astype("int64")
+        # NaT-safe integer view: astype('int64') silently turns NaT
+        # into int64-min (pandas 2.x), which would wrap the diffs
+        # into ~1e18 garbage — mask NULL ts to NA first so gaps
+        # touching them drop out, exactly like the DuckDB oracle's
+        # `epoch_us(ts) - lag(epoch_us(ts))` yielding NULL
+        ns = pd.Series(pdf["ts"].astype("int64"), index=pdf.index).astype("Int64")
+        ns[pdf["ts"].isna()] = pd.NA
+        gaps_us = (ns.diff() // 1000).dropna().astype("int64")
         return pd.DataFrame(
             {
                 "conv_id": [pdf["conv_id"].iloc[0]],

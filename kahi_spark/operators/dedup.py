@@ -296,6 +296,13 @@ def with_simhash(
             ]
         )
 
+    # xxhash64(t) appears in all 64 when-branches of bits_pm1, but
+    # this is NOT the per-element re-evaluation trap: interpreted
+    # expressions get runtime subexpression elimination
+    # (SubExprEvaluationRuntime), so the hash runs once per token.
+    # MEASURED (sf0.1, round-5 review follow-up): pre-hashing via
+    # F.transform into an intermediate array is 4× SLOWER (0.5 s →
+    # 2.1 s warm) than this direct form — don't "fix" it.
     votes = F.aggregate(
         toks,
         F.array_repeat(F.lit(0).cast("int"), bits),
@@ -429,6 +436,67 @@ def with_simhash60_md5(
     return sums.select(F.col(id_col), fp.alias("simhash60"))
 
 
+def _banded_hamming_pairs(
+    sh: DataFrame,
+    fp_col: str,
+    total_bits: int,
+    n_bands: int,
+    max_hamming: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared core of the three SimHash pair queries: band the
+    fingerprint, bucket-join on (band_idx, band_val), exact-Hamming
+    filter. ONE copy (round-5 review) so a banding fix cannot
+    silently miss a variant.
+
+    ``n_bands`` must divide ``total_bits``: the pigeonhole recall
+    proof (hamming ≤ n_bands-1 ⇒ some band untouched ⇒ bucket
+    collision) requires every bit to live in SOME band — a
+    non-divisor (e.g. 60-bit / 8 bands) would leave the top bits
+    unbanded and silently miss pairs differing only there."""
+    if total_bits % n_bands:
+        raise ValueError(
+            f"n_bands={n_bands} must divide the {total_bits}-bit fingerprint "
+            "(unbanded bits void the pigeonhole recall guarantee)"
+        )
+    width = total_bits // n_bands
+    bands = sh.select(
+        id_col,
+        fp_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col(fp_col), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, fp_col, "band.band_idx", "band.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    hamming = F.bit_count(F.col(f"a.{fp_col}").bitwiseXOR(F.col(f"b.{fp_col}")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_wide_neardup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -446,43 +514,8 @@ def simhash_wide_neardup_pairs(
     the band join stays linear where ``simhash32_neardup_pairs``
     (kept as the portable small-radius query) goes quadratic.
     Output: (doc_a, doc_b, hamming)."""
-    width = 60 // n_bands
     sh = with_simhash60_md5(docs, id_col=id_col, text_col=text_col)
-    bands = sh.select(
-        id_col,
-        "simhash60",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.shiftright(F.col("simhash60"), b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("band_val"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "simhash60", "band.band_idx", "band.band_val")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    hamming = F.bit_count(F.col("a.simhash60").bitwiseXOR(F.col("b.simhash60")))
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            hamming.cast("int").alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    return _banded_hamming_pairs(sh, "simhash60", 60, n_bands, max_hamming, id_col)
 
 
 def simhash32_neardup_pairs(
@@ -511,43 +544,8 @@ def simhash32_neardup_pairs(
     64-bit hashes of 4-row slices → effectively unbounded key space,
     uniform by construction). SimHash here is the verification-grade
     radius query; MinHash-LSH is the recommended 100-TB dedup path."""
-    width = 32 // n_bands
     sh = with_simhash32_md5(docs, id_col=id_col, text_col=text_col)
-    bands = sh.select(
-        id_col,
-        "simhash32",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.shiftright(F.col("simhash32"), b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("band_val"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "simhash32", "band.band_idx", "band.band_val")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    hamming = F.bit_count(F.col("a.simhash32").bitwiseXOR(F.col("b.simhash32")))
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            hamming.cast("int").alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    return _banded_hamming_pairs(sh, "simhash32", 32, n_bands, max_hamming, id_col)
 
 
 def simhash_neardup_pairs(
@@ -562,39 +560,4 @@ def simhash_neardup_pairs(
     band equal; wider radii trade recall), bucket-join, then filter
     by exact Hamming distance ≤ ``max_hamming``."""
     sh = with_simhash(docs, id_col=id_col, text_col=text_col)
-    width = 64 // n_bands
-    bands = sh.select(
-        id_col,
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.shiftright(F.col("simhash"), b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("band_val"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "simhash", "band.band_idx", "band.band_val")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    return _banded_hamming_pairs(sh, "simhash", 64, n_bands, max_hamming, id_col)

@@ -32,9 +32,13 @@ from pyspark.sql.functions import pandas_udf
 #: DuckDB mirror of ``char_bigrams_expr`` (``{x}`` = text expr) —
 #: the ONE template every oracle formats (round-5 review: one copy
 #: repo-wide, like ``dedup.SHINGLES_SQL``)
+#: strings shorter than a bigram (incl. '' / NULL) yield the EMPTY
+#: set on both engines — see ``char_bigrams_expr``
 BIGRAMS_SQL = (
+    "CASE WHEN length({x}) >= 2 THEN "
     "list_distinct([substr(lower({x}), i, 2) "
-    "for i in range(1, greatest(length({x}) - 1, 1) + 1)])"
+    "for i in range(1, length({x}))]) "
+    "ELSE []::VARCHAR[] END"
 )
 
 
@@ -46,12 +50,20 @@ def char_bigrams_expr(col: Column | str) -> Column:
     referencing ``lower(col)`` directly inside the inner lambda would
     re-lowercase the whole string per bigram, the O(len²)-per-doc
     CollapseProject pitfall (CLAUDE.md; measured 2-4× extraction cost
-    at 100k docs in ``operators/keyless.py``)."""
+    at 100k docs in ``operators/keyless.py``).
+
+    Strings shorter than a bigram (incl. '' / NULL) yield the EMPTY
+    set — the old floor gave them [''] / [NULL] phantom features
+    that scored jaccard 1.0 against each other (round-5 review;
+    ``BIGRAMS_SQL`` mirrors the guard)."""
     s = F.lower(F.col(col) if isinstance(col, str) else col)
 
     def bigrams(lc: Column) -> Column:
         idx = F.sequence(F.lit(1), F.greatest(F.length(lc) - 1, F.lit(1)))
-        return F.array_distinct(F.transform(idx, lambda i: lc.substr(i, F.lit(2))))
+        grams = F.array_distinct(F.transform(idx, lambda i: lc.substr(i, F.lit(2))))
+        return F.when(F.length(lc) >= 2, grams).otherwise(
+            F.array().cast("array<string>")
+        )
 
     return F.transform(F.array(s), bigrams).getItem(0)
 
@@ -59,10 +71,11 @@ def char_bigrams_expr(col: Column | str) -> Column:
 def bigram_jaccard_expr(a: Column, b: Column) -> Column:
     """Jaccard over distinct char bigrams — integer set sizes and one
     double division, so bit-identical across engines (used by the
-    DuckDB oracles). Rounded to 6."""
+    DuckDB oracles). Rounded to 6. Two EMPTY sets score NULL (no
+    match; DuckDB's x/0 is NULL, ANSI Spark would throw)."""
     inter = F.size(F.array_intersect(a, b))
     union = F.size(a) + F.size(b) - inter
-    return F.round(inter.cast("double") / union, 6)
+    return F.when(union > 0, F.round(inter.cast("double") / union, 6))
 
 
 def _partial_ratio_py(x: str | None, y: str | None) -> float | None:

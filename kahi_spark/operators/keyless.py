@@ -123,9 +123,19 @@ def word_shingles_expr(toks: Column, n: int = 3) -> Column:
 def char_bigrams_from_lower_expr(lc: Column) -> Column:
     """Distinct char bigrams from a PRE-MATERIALIZED lowercased
     column (same O(len²) trap as above: ``lower()`` inside the lambda
-    re-lowercases the whole string per bigram)."""
+    re-lowercases the whole string per bigram).
+
+    Strings shorter than a bigram (incl. '' and NULL) yield the
+    EMPTY set — the old ``greatest(len-1, 1)`` floor gave '' the
+    feature [''] and NULL the feature [NULL], so two contentless
+    rows scored jaccard 1.0 and a noise-cleaned keyless event
+    adopted an arbitrary conversation instead of minting a
+    surrogate (round-5 review, verified)."""
     idx = F.sequence(F.lit(1), F.greatest(F.length(lc) - 1, F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: lc.substr(i, F.lit(2))))
+    grams = F.array_distinct(F.transform(idx, lambda i: lc.substr(i, F.lit(2))))
+    return F.when(F.length(lc) >= 2, grams).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def size_bucket_expr(size: Column) -> Column:
@@ -153,10 +163,13 @@ def minhash_slot_expr(hs: Column, slot: int) -> Column:
 
 
 def jaccard_expr(a: Column, b: Column) -> Column:
-    """Set Jaccard of two non-empty arrays, rounded to 6 (engine-
-    portable: integer set sizes, one double division)."""
+    """Set Jaccard of two arrays, rounded to 6 (engine-portable:
+    integer set sizes, one double division). Two EMPTY sets score
+    NULL — not 1.0, and not an ANSI DIVIDE_BY_ZERO (DuckDB's x/0 is
+    NULL too), so featureless pairs never match."""
     inter = F.size(F.array_intersect(a, b))
-    return F.round(inter.cast("double") / (F.size(a) + F.size(b) - inter), 6)
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union > 0, F.round(inter.cast("double") / union, 6))
 
 
 def _with_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -229,6 +242,19 @@ def resolve_keyless_events(
       candidate rows (one count job — trivial next to the resolve);
       what the pipeline uses, where the oracle never sees the path.
     """
+    if mid < MID and blocking != "single":
+        # SIZE_BUCKETS geometry (ratio MID between consecutive
+        # boundaries) guarantees the conjunctive ±1-bucket blocking
+        # reaches every pair with jaccard ≥ MID; a looser threshold
+        # would need wider buckets or a wider ± window — candidates
+        # between `mid` and MID would silently never be generated
+        # (round-5 review). blocking="single" has no bucket key and
+        # accepts any mid.
+        raise ValueError(
+            f"mid={mid} below {MID}: the conjunctive size-bucket "
+            f"geometry only guarantees recall down to jaccard >= {MID} "
+            "(use blocking='single' or widen SIZE_BUCKETS to go lower)"
+        )
     keyed = events.filter(F.col("conv_id").isNotNull())
     keyless = events.filter(F.col("conv_id").isNull())
 

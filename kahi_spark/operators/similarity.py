@@ -360,7 +360,12 @@ def _cells_pandas_udf(centroids: list[list[float]], nprobe: int = 1):
         # the vector's own norm is constant per row — argsort unaffected
         scores = (v @ mat) / cnorm
         idx = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe] + 1
-        return pd.Series(list(idx.astype("int32")))
+        # zero-norm vectors have no cosine cell: emit NONE (the
+        # literal path's nullif-norm yields a NULL cell; without this
+        # the two paths diverge and zero vectors drag centroids)
+        zero = ~np.any(v, axis=1)
+        out = [[] if z else r.tolist() for z, r in zip(zero, idx.astype("int32"))]
+        return pd.Series(out)
 
     return cells
 
@@ -406,15 +411,21 @@ def ivf_centroids(
     keep their previous centroid."""
     base = _with_norm(corpus, id_col, vec_col, "x")
     seed_rows = (
-        corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        base.select(F.col("x_id").alias("i"), F.col("x_v").alias("v"), "x_nrm")
+        .filter(F.col("x_nrm").isNotNull())  # a zero-norm seed centroid would divide by zero
+        .orderBy(F.xxhash64(F.col("i").cast("string")))
         .limit(n_cells)
         .collect()
     )
     centroids = [list(r.v) for r in seed_rows]
     for _ in range(iters):
-        assigned = _assign_cells(base, "x_v", "x_nrm", centroids).select(
-            "cell", F.posexplode(F.col("x_v")).alias("dim", "val")
+        # zero-norm vectors carry a NULL cell (no cosine assignment,
+        # both paths) — without the filter the centroid-update loop
+        # dereferences None (round-5 review, crash verified)
+        assigned = (
+            _assign_cells(base, "x_v", "x_nrm", centroids)
+            .filter(F.col("cell").isNotNull())
+            .select("cell", F.posexplode(F.col("x_v")).alias("dim", "val"))
         )
         means = (
             assigned.groupBy("cell", "dim")

@@ -71,10 +71,15 @@ def derive_events_duckdb_sql(events_view: str = "events") -> str:
 # clean_text_expr parity fragment: TeX strip, markup strip, ws
 # collapse, trim. Raw string: DuckDB string literals do no escape
 # processing, so the SQL must carry a doubled backslash for RE2 to
-# see an escaped '\'.
+# see an escaped '\'. The whitespace class is spelled EXPLICITLY:
+# RE2's '\s' is [\t\n\f\r ] while the Spark side runs Java's \s,
+# which also includes vertical tab \x0B — an \x0B in any event text
+# would silently diverge engine and oracle on every downstream
+# value hash (round-5 review; same class as functions.text._WS_RE_PY).
 CLEAN_TEXT_SQL = (
     r"trim(regexp_replace(regexp_replace(regexp_replace("
-    r"{col}, '\\[a-zA-Z]+', '', 'g'), '[$_^{{}}]', '', 'g'), '\s+', ' ', 'g'))"
+    r"{col}, '\\[a-zA-Z]+', '', 'g'), '[$_^{{}}]', '', 'g'), "
+    r"'[ \t\n\x0B\f\r]+', ' ', 'g'))"
 )
 
 
@@ -96,8 +101,15 @@ def norm_events_cte() -> str:
 
 
 def read_event_log(spark: SparkSession, path: str) -> DataFrame:
-    """Batch scan of the Parquet binlog directory (SURVEY.md S1)."""
-    return spark.read.schema(EVENT_SCHEMA).option("mergeSchema", "true").parquet(path)
+    """Batch scan of the Parquet binlog directory (SURVEY.md S1).
+
+    Reads with the FIXED event schema — evolved extra columns in
+    later binlog files surface through the sink's ADD COLUMN path
+    (``schema.evolve_schema``), not parquet schema merging (Spark
+    ignores ``mergeSchema`` whenever a user schema is supplied, so
+    carrying the option here only implied behavior that never
+    happened — round-5 review)."""
+    return spark.read.schema(EVENT_SCHEMA).parquet(path)
 
 
 def stream_event_log(

@@ -239,3 +239,47 @@ def test_zero_norm_vectors_never_rank(spark):
     ranked = sorted(by_probe[10], key=lambda r: r.rank)
     assert [r.neighbor_id for r in ranked] == [1, 3]
     assert all(r.score is not None for r in rows)
+
+
+def test_ivf_handles_zero_norm_vectors(spark):
+    """A zero embedding must not crash the Lloyd update (its cell is
+    NULL on both assignment paths — round-5 review: the centroid
+    loop dereferenced None) nor drag centroids, and full-probe IVF
+    must still equal brute force on the remaining vectors."""
+    import numpy as np
+
+    from kahi_spark.operators.similarity import (
+        _cells_pandas_udf,
+        ivf_centroids,
+        ivf_knn,
+        knn_bruteforce,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.normal(size=16).astype("float64").tolist(), 0) for i in range(60)]
+    rows.append((60, [0.0] * 16, 0))  # the zero vector
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, cluster int")
+
+    cents = ivf_centroids(emb, n_cells=4, iters=2)  # no crash
+    assert len(cents) == 4 and all(any(x != 0 for x in c) for c in cents)
+    # with vs without the zero vector: identical centroids (it must
+    # not participate in any cell mean)
+    cents2 = ivf_centroids(emb.filter("vec_id < 60"), n_cells=4, iters=2)
+    assert cents == cents2
+
+    probes = emb.filter("vec_id IN (0, 1, 60)")
+    exact = sorted(map(tuple, knn_bruteforce(probes, emb, k=3).collect()))
+    ivf = sorted(
+        map(tuple, ivf_knn(probes, emb, k=3, n_cells=4, nprobe=4, iters=2).collect())
+    )
+    assert ivf == exact
+    assert not any(r[1] == 60 for r in ivf)  # zero vector never ranks
+
+    # the vectorized assignment path agrees: zero vector → no cell
+    udf = _cells_pandas_udf(cents, nprobe=1)
+    got = {
+        r.vec_id: r.c
+        for r in emb.select("vec_id", udf("embedding").alias("c")).collect()
+    }
+    assert got[60] == []
+    assert all(len(got[i]) == 1 for i in range(60))

@@ -183,3 +183,62 @@ def test_pipeline_auto_blocking_flips_once_and_sticks(spark, tmp_path, monkeypat
     # c1/0's text is now the updated variant (LWW, newer ts)
     got = {(r.conv_id, r.turn_idx): r.text for r in table.read().collect()}
     assert got[("c1", 0)] == "alpha beta gamma delta words heres"
+
+
+def test_degenerate_text_mints_surrogates(spark):
+    """Contentless probes (empty / NULL / 1-char text) carry NO
+    features and must mint surrogates — the old bigram floor gave
+    '' the phantom feature [''] (and NULL [NULL]), so two
+    contentless rows scored jaccard 1.0 and the probe adopted an
+    arbitrary conversation (round-5 review, verified). Checked under
+    BOTH blocking modes and against a state that itself contains an
+    empty-text row."""
+    state = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "", None, ts(0)),  # empty text in state
+            ("c2", 0, "user", None, None, ts(0)),  # NULL text in state
+            ("c3", 0, "user", "the quick brown fox jumps high", None, ts(1)),
+        ],
+        TRANSCRIPT_SCHEMA,
+    )
+    events = spark.createDataFrame(
+        [
+            (20, "insert", None, 0, "user", "", None, ts(20), "wos"),
+            (21, "insert", None, 0, "user", None, None, ts(21), "wos"),
+            (22, "insert", None, 0, "user", "x", None, ts(22), "wos"),
+            # sanity: a real match still resolves
+            (23, "update", None, 0, "user", "the quick brown fox jumps high", None, ts(23), "wos"),
+        ],
+        NULLABLE_EVENTS,
+    )
+    for blocking in ("single", "conjunctive"):
+        out = {
+            r.seq: r.conv_id
+            for r in resolve_keyless_events(events, state, blocking=blocking).collect()
+        }
+        assert out[20] == "u20", (blocking, out)
+        assert out[21] == "u21", (blocking, out)
+        assert out[22] == "u22", (blocking, out)
+        assert out[23] == "c3", (blocking, out)
+
+
+def test_mid_below_bucket_geometry_rejected(spark):
+    """The conjunctive size-bucket geometry only guarantees recall
+    down to jaccard >= MID — a looser `mid` must be rejected loudly
+    for bucketed blocking (candidates between the two thresholds
+    would silently never generate), while blocking='single' has no
+    bucket key and accepts it (round-5 review)."""
+    import pytest
+
+    state = spark.createDataFrame(
+        [("c1", 0, "user", "alpha beta gamma delta", None, ts(0))],
+        TRANSCRIPT_SCHEMA,
+    )
+    events = spark.createDataFrame(
+        [(1, "insert", None, 0, "user", "alpha beta gamma delta", None, ts(1), "wos")],
+        NULLABLE_EVENTS,
+    )
+    with pytest.raises(ValueError, match="size-bucket"):
+        resolve_keyless_events(events, state, mid=0.5)
+    out = resolve_keyless_events(events, state, mid=0.5, blocking="single").collect()
+    assert out[0].conv_id == "c1"

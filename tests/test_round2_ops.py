@@ -296,3 +296,25 @@ def test_colav_similarity_cascade_branches(spark):
     df = spark.createDataFrame(rows, "t1 string, t2 string, j1 string, j2 string, y1 int, y2 int")
     got = df.select(colav_similarity_pandas("t1", "t2", "j1", "j2", "y1", "y2").alias("m")).collect()
     assert got[0].m is True
+
+
+def test_simhash_banding_requires_divisor(spark):
+    """A non-divisor n_bands would leave fingerprint bits outside
+    every band and silently void the pigeonhole recall guarantee —
+    all three variants must refuse it loudly (round-5 review)."""
+    import pytest
+
+    from kahi_spark.operators.dedup import (
+        simhash32_neardup_pairs,
+        simhash_neardup_pairs,
+        simhash_wide_neardup_pairs,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    for fn, bad in (
+        (simhash_wide_neardup_pairs, 8),   # 60 % 8 != 0
+        (simhash32_neardup_pairs, 5),      # 32 % 5 != 0
+        (simhash_neardup_pairs, 3),        # 64 % 3 != 0
+    ):
+        with pytest.raises(ValueError, match="divide"):
+            fn(docs, n_bands=bad)
