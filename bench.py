@@ -334,6 +334,7 @@ class _StealSampler:
             self.samples.append((d[0] / tot, d[2] / tot, d[7] / tot))
 
     def start(self) -> "_StealSampler":
+        self._marks: list[tuple[str, int]] = []
         try:
             self._read()
         except OSError:
@@ -341,16 +342,32 @@ class _StealSampler:
         self._thread.start()
         return self
 
+    def mark(self, phase: str) -> None:
+        """Record a phase boundary: samples since the previous mark
+        belong to ``phase`` (the 3rd same-day full run showed phases
+        landing in DIFFERENT steal regimes — scaling quiet at 0.779,
+        headline in a burst — so a run-wide mean under-attributes)."""
+        self._marks.append((phase, len(self.samples)))
+
     def report(self) -> dict:
         self._stop.set()
         act = [s for s in self.samples if s[0] + s[1] > 0.2]
         if not act:
             return {}
-        return {
+        out = {
             "steal_pct_mean_active": round(100 * sum(s[2] for s in act) / len(act), 1),
             "steal_pct_max": round(100 * max(s[2] for s in self.samples), 1),
             "active_samples": len(act),
         }
+        prev = 0
+        for phase, end in self._marks:
+            span = [s for s in self.samples[prev:end] if s[0] + s[1] > 0.2]
+            if span:
+                out[f"steal_pct_{phase}"] = round(
+                    100 * sum(s[2] for s in span) / len(span), 1
+                )
+            prev = end
+        return out
 
 
 def main() -> None:
@@ -364,10 +381,12 @@ def main() -> None:
     scaling = {}
     if os.environ.get("KAHI_BENCH_SKIP_SCALING") != "1":
         scaling = run_scaling(tmp)
+    steal.mark("scaling")
 
     pipeline = {}
     if os.environ.get("KAHI_BENCH_SKIP_PIPELINE") != "1":
         pipeline = run_pipeline_throughput(tmp)
+    steal.mark("pipeline")
 
     spark = fresh_session(f"local[{CPUS}]", CPUS)
     # warmup at the SMALL scale factor: identical plan shapes warm
@@ -386,6 +405,7 @@ def main() -> None:
     # min-of-3 interleaved (VERDICT r2 #9): round-over-round deltas
     # stay attributable to code, not to ambient CPU-steal windows
     queries = run_headline(spark, rounds=3)
+    steal.mark("headline")
     spark.stop()
 
     total = round(sum(queries.values()), 3)
