@@ -548,12 +548,7 @@ def decode_image_pixels(df: DataFrame) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                if payload is None:
-                    continue
-                b = bytes(payload)
-                fmt, px = _decode_any_image(b)
-                _n, w, h = _parse_header(b)
+            for aid, fmt, px, w, h in _iter_image_payloads(pdf):
                 if px is None:
                     rows.append((aid, fmt, w, h, None, None, None))
                 else:
@@ -590,6 +585,26 @@ def _decode_any_image(b: bytes):
     return None, None
 
 
+def _iter_image_payloads(pdf: pd.DataFrame):
+    """Shared per-batch decode loop for the image operators —
+    yields (asset_id, fmt, px-or-None, width, height). Dims come
+    from the DECODED array when pixels decode (a top-down BMP's
+    header height is negative; a GIF's first image descriptor may be
+    a sub-rectangle of the logical screen — the header dims would
+    contradict the pixel stats); header dims only when they're all
+    we have (round-5 review)."""
+    for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+        if payload is None:
+            continue
+        b = bytes(payload)
+        fmt, px = _decode_any_image(b)
+        if px is not None:
+            h, w = px.shape[:2]
+        else:
+            _n, w, h = _parse_header(b)
+        yield aid, fmt, px, w, h
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType(), False),
@@ -618,16 +633,10 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                if payload is None:
-                    continue
-                b = bytes(payload)
-                fmt, px = _decode_any_image(b)
-                _n, sw, sh = _parse_header(b)
+            for aid, fmt, px, w, h in _iter_image_payloads(pdf):
                 if px is None:
-                    rows.append((aid, fmt, sw, sh, out_w, out_h, None))
+                    rows.append((aid, fmt, w, h, out_w, out_h, None))
                     continue
-                h, w, _ = px.shape
                 yi = (np.arange(out_h, dtype=np.int64) * h) // out_h
                 xi = (np.arange(out_w, dtype=np.int64) * w) // out_w
                 res = px[yi][:, xi]
@@ -1031,19 +1040,21 @@ def _png_full_bytes(px, filters: list[int] | None = None) -> bytes:
     )
 
 
-def _bmp_full_bytes(px) -> bytes:
+def _bmp_full_bytes(px, top_down: bool = False) -> bytes:
     """Full valid 24bpp BMP from an (h, w, 3) uint8 RGB array:
-    bottom-up BGR rows padded to 4 bytes."""
+    BGR rows padded to 4 bytes — bottom-up (positive header height)
+    by default, or top-down (negative height, legal per the spec)."""
     h, w, _ = px.shape
     row_sz = (w * 3 + 3) // 4 * 4
     data = bytearray()
-    for y in range(h - 1, -1, -1):
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    for y in order:
         data.extend(px[y][:, ::-1].tobytes())
         data.extend(bytes(row_sz - w * 3))
     info = (
         (40).to_bytes(4, "little")
         + w.to_bytes(4, "little")
-        + h.to_bytes(4, "little", signed=True)
+        + (-h if top_down else h).to_bytes(4, "little", signed=True)
         + (1).to_bytes(2, "little")
         + (24).to_bytes(2, "little")
         + bytes(24)

@@ -389,7 +389,11 @@ def _assign_cells(
         vectorized = len(centroids) * len(centroids[0]) > _CELL_LITERAL_BUDGET
     if vectorized:
         udf = _cells_pandas_udf(centroids, nprobe=1)
-        return df.withColumn("cell", F.element_at(udf(F.col(vcol)), 1))
+        # try_element_at: the udf emits an EMPTY list for zero-norm
+        # vectors (no cosine cell) and plain element_at throws
+        # INVALID_ARRAY_INDEX under ANSI — NULL cell mirrors the
+        # literal path's nullif-norm (round-5 review)
+        return df.withColumn("cell", F.try_element_at(udf(F.col(vcol)), F.lit(1)))
     return df.withColumn("cell", _argmax_cell(F.col(vcol), F.col(nrm), centroids))
 
 

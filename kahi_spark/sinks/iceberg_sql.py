@@ -96,6 +96,16 @@ def merge_clauses(
     pol = policies or {}
     for c, p in pol.items():
         _policy_expr(c, p)  # validate early, even for non-value cols
+    if ts_col not in value_cols:
+        # the DataFrame path compares a change's ts as NULL (epoch
+        # floor) when ts is not a managed value column, while this
+        # statement would version on the real s.ts — the two paths
+        # would pick different winners. Every real table manages ts;
+        # refuse the unverified configuration loudly (round-5 review).
+        raise ValueError(
+            f"ts_col {ts_col!r} must be in value_cols — versioning on an "
+            "unmanaged ts diverges from merge_changes_into_state"
+        )
     on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
     s_ts = f"coalesce(s.{ts_col}, TIMESTAMP '{_TS_FLOOR}')"
     t_ts = f"coalesce(t.{ts_col}, TIMESTAMP '{_TS_FLOOR}')"

@@ -135,6 +135,16 @@ def table_path(spark: SparkSession, sf_dir: str, name: str) -> str:
             os.rename(tmp, path)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
+    # a CURRENT dir must never carry a stale marker: two processes
+    # racing the same rebuild can leave one (B marks the dir A just
+    # renamed into place, then B's own rename fails) — and a marker
+    # that survives onto the live dir would age past the grace window
+    # while current, so the NEXT regeneration's sweep would delete the
+    # just-superseded copy with zero grace (round-5 review)
+    try:
+        os.unlink(path + ".stale")
+    except OSError:
+        pass
     return path
 
 

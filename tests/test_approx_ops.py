@@ -283,3 +283,21 @@ def test_ivf_handles_zero_norm_vectors(spark):
     }
     assert got[60] == []
     assert all(len(got[i]) == 1 for i in range(60))
+
+    # ...and through _assign_cells with the vectorized path FORCED:
+    # plain element_at on the empty sentinel throws under ANSI
+    # (round-5 review); the cell must come back NULL instead
+    from kahi_spark.operators.similarity import _assign_cells, _with_norm
+
+    base = _with_norm(emb, "vec_id", "embedding", "x")
+    cells = {
+        r.x_id: r.cell
+        for r in _assign_cells(base, "x_v", "x_nrm", cents, vectorized=True).collect()
+    }
+    assert cells[60] is None
+    assert all(cells[i] is not None for i in range(60))
+    lit = {
+        r.x_id: r.cell
+        for r in _assign_cells(base, "x_v", "x_nrm", cents, vectorized=False).collect()
+    }
+    assert lit == cells  # both paths agree, zero vector included

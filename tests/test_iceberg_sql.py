@@ -54,14 +54,22 @@ def test_merge_into_parses_and_carries_cdc_clauses(spark):
 
 
 def test_merge_into_all_lww_has_single_matched_clause(spark):
-    sql = merge_into_sql("t", "s", ["k"], ["v"])
+    sql = merge_into_sql("t", "s", ["k"], ["v", "ts"])
     _parse(spark, sql)
     assert sql.count("WHEN MATCHED") == 1
 
 
 def test_merge_into_rejects_unknown_policy(spark):
     with pytest.raises(ValueError):
-        merge_into_sql("t", "s", ["k"], ["v"], policies={"v": "nope"})
+        merge_into_sql("t", "s", ["k"], ["v", "ts"], policies={"v": "nope"})
+
+
+def test_merge_into_rejects_unmanaged_ts(spark):
+    """Versioning on a ts that is not a managed value column would
+    diverge from merge_changes_into_state (which compares a change's
+    ts as the epoch floor when absent) — refused loudly."""
+    with pytest.raises(ValueError, match="ts_col"):
+        merge_into_sql("t", "s", ["k"], ["v"])
 
 
 # ---------------------------------------------------------------- executed

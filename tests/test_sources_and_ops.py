@@ -519,3 +519,36 @@ def test_resize_images_nearest_exact(spark):
     same = resize_images(assets.filter("asset_id = 0"), 5, 4).collect()[0]
     src = ((np.arange(4 * 5 * 3, dtype=np.int64) * 3) % 256).astype(np.uint8)
     assert bytes(same.pixels) == src.tobytes()
+
+
+def test_topdown_bmp_dims_from_decoded_array(spark):
+    """A top-down BMP (legal negative header height) must report the
+    POSITIVE decoded height — header dims contradicted the pixel
+    stats (round-5 review) — and its pixels must equal the same
+    image stored bottom-up."""
+    import numpy as np
+
+    from kahi_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        _bmp_full_bytes,
+        decode_image_pixels,
+        resize_images,
+    )
+
+    px = (np.arange(7 * 11 * 3, dtype=np.int64) % 256).astype(np.uint8).reshape(7, 11, 3)
+    assets = spark.createDataFrame(
+        [
+            (0, "image", _bmp_full_bytes(px), "image/bmp", None),
+            (1, "image", _bmp_full_bytes(px, top_down=True), "image/bmp", None),
+        ],
+        ASSET_SCHEMA,
+    )
+    rows = {r.asset_id: r for r in decode_image_pixels(assets).collect()}
+    for i in (0, 1):
+        assert (rows[i].width, rows[i].height) == (11, 7), i
+    assert (rows[0].mean_r, rows[0].mean_g, rows[0].mean_b) == (
+        rows[1].mean_r, rows[1].mean_g, rows[1].mean_b,
+    )
+    rz = {r.asset_id: r for r in resize_images(assets, 4, 3).collect()}
+    assert bytes(rz[0].pixels) == bytes(rz[1].pixels)
+    assert (rz[1].src_width, rz[1].src_height) == (11, 7)
