@@ -315,6 +315,7 @@ class _StealSampler:
         import threading
 
         self.samples: list[tuple[float, float, float]] = []
+        self._marks: list[tuple[str, int]] = []
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
 
@@ -334,7 +335,6 @@ class _StealSampler:
             self.samples.append((d[0] / tot, d[2] / tot, d[7] / tot))
 
     def start(self) -> "_StealSampler":
-        self._marks: list[tuple[str, int]] = []
         try:
             self._read()
         except OSError:

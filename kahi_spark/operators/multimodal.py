@@ -492,6 +492,8 @@ def _gif_pixels(b: bytes):
                 return None
             w = int.from_bytes(b[pos + 5 : pos + 7], "little")
             h = int.from_bytes(b[pos + 7 : pos + 9], "little")
+            if w <= 0 or h <= 0:
+                return None  # zero-dim: undecodable (match PNG/BMP rejection)
             ipacked = b[pos + 9]
             pos += 10
             pal = gct
@@ -702,6 +704,10 @@ def _mp4_sample_table(
     uniform = int.from_bytes(b[s + 4 : s + 8], "big")
     n_samples = int.from_bytes(b[s + 8 : s + 12], "big")
     if uniform:
+        # samples can't total more bytes than the container holds — a
+        # hostile/corrupt declared count would otherwise materialize GBs
+        if n_samples > len(b) or uniform * n_samples > len(b):
+            return None
         sizes = [uniform] * n_samples
     else:
         if e - s < 12 + 4 * n_samples:

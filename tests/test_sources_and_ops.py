@@ -469,10 +469,46 @@ def test_gif_lzw_roundtrip_fuzz():
         assert _gif_lzw_decode(mcs, _gif_lzw_encode(mcs, idx)) == idx
     assert _gif_lzw_decode(4, b"") == []
     # garbage must not raise: either a corrupt-stream None or a
-    # best-effort prefix is acceptable
-    assert _gif_lzw_decode(4, b"\xff\xff") in (None, []) or isinstance(
-        _gif_lzw_decode(4, b"\xff\xff"), list
+    # best-effort prefix (list of in-range ints) is acceptable
+    garbage = _gif_lzw_decode(4, b"\xff\xff")
+    assert garbage is None or (
+        isinstance(garbage, list) and all(isinstance(i, int) for i in garbage)
     )
+
+
+def test_hostile_payloads_degrade_to_none():
+    """Crafted-hostile containers must degrade to None like every
+    other undecodable payload — never allocate huge buffers or emit
+    zero-dim arrays (ADVICE r5): a GIF declaring 0×0 dimensions, and
+    an MP4 stsz declaring uniform-size samples whose product exceeds
+    the container length."""
+    import numpy as np
+
+    from kahi_spark.operators.multimodal import (
+        _gif_full_bytes,
+        _gif_pixels,
+        _mp4_raw_bytes,
+        _mp4_sample_table,
+    )
+
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    zero_w = bytearray(_gif_full_bytes(pal, [0, 1, 2, 3], 2, 2))
+    # image descriptor dims live 5..9 bytes after the 0x2C marker
+    marker = zero_w.index(0x2C)
+    zero_w[marker + 5 : marker + 7] = (0).to_bytes(2, "little")
+    assert _gif_pixels(bytes(zero_w)) is None
+    zero_h = bytearray(_gif_full_bytes(pal, [0, 1, 2, 3], 2, 2))
+    marker = zero_h.index(0x2C)
+    zero_h[marker + 7 : marker + 9] = (0).to_bytes(2, "little")
+    assert _gif_pixels(bytes(zero_h)) is None
+
+    vid = bytearray(_mp4_raw_bytes(2, 2, [bytes(12), bytes(12)]))
+    stsz = vid.index(b"stsz")
+    # box payload starts 4 bytes after the fourcc: ver/flags(4) then
+    # uniform(4) + n_samples(4); declare 2^31 uniform-size samples
+    vid[stsz + 8 : stsz + 12] = (16).to_bytes(4, "big")
+    vid[stsz + 12 : stsz + 16] = (1 << 31).to_bytes(4, "big")
+    assert _mp4_sample_table(bytes(vid)) is None
 
 
 def test_resize_images_nearest_exact(spark):
