@@ -18,12 +18,18 @@ Epoch-keyed subdirectories make writes idempotent: a re-delivered
 epoch overwrites its own files byte-identically (the same
 exactly-once story as the snapshot sink's ledger).
 
-Scale notes (10^10 keys): the per-epoch candidate join shuffles BOTH
-sides on ``(band_idx, band_sig)`` in this parquet stand-in. On a real
-cluster the bands table should live as an Iceberg table bucketed by
-``band_sig`` so the lookup is a storage-partitioned join — the index
-side is never reshuffled, only the (small) batch side moves; the
-verification joins broadcast the candidate set so the signature
+Scale notes (10^10 keys): the ``bands/`` table is directory-bucketed
+by an explicit ``pmod(band_sig, n_buckets)`` column written with
+``partitionBy`` (the same trick as ``snapshot.py::_bucket_expr`` —
+part-file indices do NOT identify hash buckets, the bucket must be a
+directory name). The per-epoch candidate lookup broadcasts the batch
+side AND statically prunes the index scan to the buckets the batch
+actually touches (``PartitionFilters: bucket IN (...)`` — asserted in
+``tests/test_dedup_index.py``), so the index side is never
+reshuffled and, for batches smaller than the bucket count, most of
+it is never even read. On a real cluster the same layout maps to an
+Iceberg table bucketed by ``band_sig`` (storage-partitioned join);
+the verification joins broadcast the candidate set so the signature
 tables are probed in place either way.
 
 Reference analogue: the in-memory similarity candidate lists that
@@ -53,6 +59,7 @@ class LshDedupIndex:
         shingle_n: int = 3,
         seed: int = 42,
         portable: bool = False,
+        n_buckets: int = 32,
     ) -> None:
         """``portable=True`` computes signatures with the md5-based
         60-bit shingle hash so a DuckDB oracle can mirror them
@@ -72,6 +79,7 @@ class LshDedupIndex:
         self.shingle_n = shingle_n
         self.seed = seed
         self.portable = portable
+        self.n_buckets = n_buckets
 
     # -- signature construction -------------------------------------------
 
@@ -93,26 +101,35 @@ class LshDedupIndex:
 
     def _bands(self, sigs: DataFrame) -> DataFrame:
         r = self.rows_per_band
-        return sigs.select(
-            "key",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_idx"),
-                            F.xxhash64(
-                                *[F.element_at("sig", b * r + i + 1) for i in range(r)]
-                            ).alias("band_sig"),
-                        )
-                        for b in range(self.n_bands)
-                    ]
-                )
-            ).alias("b"),
-        ).select("key", "b.band_idx", "b.band_sig")
+        return (
+            sigs.select(
+                "key",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).alias("band_idx"),
+                                F.xxhash64(
+                                    *[F.element_at("sig", b * r + i + 1) for i in range(r)]
+                                ).alias("band_sig"),
+                            )
+                            for b in range(self.n_bands)
+                        ]
+                    )
+                ).alias("b"),
+            )
+            .select("key", "b.band_idx", "b.band_sig")
+            # the storage bucket is a FUNCTION of the join key, so a
+            # band_sig equi-match implies a bucket match: pruning the
+            # index read to the batch's bucket set loses no candidates
+            .withColumn(
+                "bucket", F.pmod(F.col("band_sig"), F.lit(self.n_buckets)).cast("int")
+            )
+        )
 
     # -- storage ------------------------------------------------------------
 
-    def _read(self, sub: str, schema: str) -> DataFrame:
+    def _epoch_dirs(self, sub: str) -> list[str]:
         """Committed ``epoch_*`` directories ONLY — never the
         ``epoch_N.tmp-<uuid>`` leftovers of an ``add()`` that crashed
         between write and swap: ``dedup_batch`` probes the index
@@ -121,25 +138,60 @@ class LshDedupIndex:
         never-committed signature/band/dropped rows to candidate
         generation (round-5 review)."""
         base = os.path.join(self.path, sub)
-        dirs = (
-            [
-                e.path
-                for e in os.scandir(base)
-                if e.is_dir() and e.name.startswith("epoch_") and ".tmp-" not in e.name
-            ]
-            if os.path.isdir(base)
-            else []
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            e.path
+            for e in os.scandir(base)
+            if e.is_dir() and e.name.startswith("epoch_") and ".tmp-" not in e.name
         )
+
+    def _read(self, sub: str, schema: str) -> DataFrame:
+        dirs = self._epoch_dirs(sub)
         if not dirs:
             return self.spark.createDataFrame([], schema)
         return (
             self.spark.read.option("recursiveFileLookup", "true")
             .schema(schema)  # type: ignore[arg-type]
-            .parquet(*sorted(dirs))
+            .parquet(*dirs)
         )
 
     def existing_bands(self) -> DataFrame:
-        return self._read("bands", "key string, band_idx int, band_sig long")
+        """Partition-discovered read (NOT recursiveFileLookup, which
+        disables partition inference): each epoch dir holds
+        ``bucket=k/`` subdirectories, so a ``bucket`` filter becomes a
+        PartitionFilter — pruned before any file is opened."""
+        schema = "key string, band_idx int, band_sig long, bucket int"
+        dirs = self._epoch_dirs("bands")
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        # one single-root read per epoch (multi-root partition
+        # discovery rejects the layout as conflicting); the union of
+        # scans still pushes a bucket filter into EVERY scan's
+        # PartitionFilters. Epoch-count growth is bounded by the same
+        # compaction story as the snapshot sink's deltas.
+        out = None
+        for d in dirs:
+            if any(
+                f.is_file() and f.name.endswith(".parquet") for f in os.scandir(d)
+            ):
+                # legacy pre-bucketing epoch (flat files): derive the
+                # bucket column on the fly — a bucket filter still
+                # applies, just as a DataFilter instead of a
+                # PartitionFilter, and no candidates are lost
+                df = (
+                    self.spark.read.option("recursiveFileLookup", "true")
+                    .schema("key string, band_idx int, band_sig long")  # type: ignore[arg-type]
+                    .parquet(d)
+                    .withColumn(
+                        "bucket",
+                        F.pmod(F.col("band_sig"), F.lit(self.n_buckets)).cast("int"),
+                    )
+                )
+            else:
+                df = self.spark.read.schema(schema).parquet(d)  # type: ignore[arg-type]
+            out = df if out is None else out.unionByName(df)
+        return out
 
     def existing_sigs(self) -> DataFrame:
         return self._read("sigs", "key string, sig array<bigint>")
@@ -158,11 +210,19 @@ class LshDedupIndex:
         import shutil
         import uuid
 
-        writes = [("sigs", new_sigs), ("bands", self._bands(new_sigs))]
+        # bands: repartition on the bucket column first so each
+        # bucket=k/ directory gets ONE file per epoch (partitionBy
+        # from N tasks would write N × buckets shards); the batch is
+        # small by definition, so this shuffle is cheap
+        bands = self._bands(new_sigs).repartition("bucket")
+        writes: list[tuple[str, DataFrame, tuple[str, ...]]] = [
+            ("sigs", new_sigs, ()),
+            ("bands", bands, ("bucket",)),
+        ]
         if dropped is not None:
-            writes.append(("dropped", dropped))
+            writes.append(("dropped", dropped, ()))
         swaps = []
-        for sub, df in writes:
+        for sub, df, part_cols in writes:
             final = os.path.join(self.path, sub, f"epoch_{epoch_id}")
             # sweep tmp dirs a crashed previous delivery left behind
             # (never referenced by readers — pure leakage otherwise)
@@ -172,7 +232,10 @@ class LshDedupIndex:
                     if e.is_dir() and ".tmp-" in e.name:
                         shutil.rmtree(e.path, ignore_errors=True)
             tmp = f"{final}.tmp-{uuid.uuid4().hex}"
-            df.write.mode("overwrite").parquet(tmp)
+            w = df.write.mode("overwrite")
+            if part_cols:
+                w = w.partitionBy(*part_cols)
+            w.parquet(tmp)
             swaps.append((tmp, final))
         for tmp, final in swaps:
             shutil.rmtree(final, ignore_errors=True)
@@ -193,7 +256,18 @@ class LshDedupIndex:
         canonical survivor — deterministic). Returns (key, match_key,
         est_jaccard)."""
         new_bands = self._bands(new_sigs)
-        old_bands = self.existing_bands()
+        # static bucket pruning: the batch touches at most n_buckets
+        # storage buckets (usually far fewer for small batches); the
+        # driver collects that tiny int set and turns it into a
+        # PartitionFilter on the index read — buckets the batch never
+        # hashes into are pruned before a single file is opened.
+        # (Bucket is a function of band_sig, so no candidate is lost.)
+        batch_buckets = [
+            r["bucket"] for r in new_bands.select("bucket").distinct().collect()
+        ]
+        old_bands = self.existing_bands().filter(
+            F.col("bucket").isin(batch_buckets) if batch_buckets else F.lit(False)
+        )
         # candidates vs the index, and vs lower-keyed batch peers.
         # The BATCH side broadcasts: the index side is the 10^10-row
         # one, and Spark can't see that the aggregated batch bands are

@@ -279,3 +279,42 @@ def test_crashed_add_tmp_dirs_invisible_to_reads(spark, tmp_path):
         if ".tmp-" in e.name
     ]
     assert leftovers == []
+
+
+def test_bucketed_bands_partition_pruning(spark, tmp_path):
+    """VERDICT r5 #2: the bands table is directory-bucketed on
+    pmod(band_sig, n_buckets) and the candidate join's index-side
+    scan carries a bucket PartitionFilter — the index is pruned
+    before any file opens, and only the (broadcast) batch side ever
+    moves. Also pins the layout: one bucket=k/ dir per epoch, one
+    file per bucket."""
+    import os
+    import re
+
+    idx = LshDedupIndex(spark, str(tmp_path / "idx"), threshold=0.8, n_buckets=8)
+    b0 = spark.createDataFrame(
+        [_ev(0, "insert", "c1", 0, _BASE), _ev(1, "insert", "c3", 0, _OTHER)], _EV
+    )
+    idx.dedup_batch(b0, epoch_id=0)
+
+    # on-disk layout: epoch dir contains only bucket=k subdirs, each
+    # holding exactly one parquet part file
+    epoch_dir = os.path.join(str(tmp_path / "idx"), "bands", "epoch_0")
+    buckets = [e for e in os.scandir(epoch_dir) if e.is_dir()]
+    assert buckets and all(re.fullmatch(r"bucket=\d+", e.name) for e in buckets)
+    for e in buckets:
+        parts = [f for f in os.listdir(e.path) if f.endswith(".parquet")]
+        assert len(parts) == 1, parts
+
+    # the candidate join plan: index-side scan is partition-pruned to
+    # the batch's bucket set and there is NO exchange on the index side
+    probe = idx._signatures(
+        spark.createDataFrame([("p1", _BASE)], "k string, text string"), "k", "text"
+    )
+    dups = idx.find_neardups(probe)
+    plan = dups._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[bucket#\d+ IN? ?\(", plan)
+    assert m, plan[:4000]
+    # correctness through the pruned path: the probe near-dups c1
+    got = {(r.key, r.match_key) for r in dups.collect()}
+    assert ("p1", "c1:0") in got
