@@ -523,6 +523,118 @@ def ivf_knn(
     )
 
 
+def ivf_portable_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """Engine-portable coarse quantizer for the gate path: seed
+    centroids are the ``n_cells`` non-zero-norm corpus vectors with
+    the smallest ``(h60_md5(id), id)`` — a deterministic,
+    aggregation-free selection a SQL oracle reproduces exactly (no
+    Lloyd float averaging, whose summation order differs across
+    engines). Centroids are integer-quantized (``quantize_expr``,
+    round-half-away-from-zero at 1e-3) IN the engine before
+    collection, so both engines hold identical integer vectors."""
+    from kahi_spark.operators.dedup import h60_md5_expr
+
+    base = _with_norm(corpus, id_col, vec_col, "x")
+    rows = (
+        base.filter(F.col("x_nrm").isNotNull())
+        .select(quantize_expr(F.col("x_v")).alias("q"), "x_id")
+        .orderBy(h60_md5_expr(F.col("x_id").cast("string")), F.col("x_id"))
+        .limit(n_cells)
+        .collect()
+    )
+    return [list(r.q) for r in rows]
+
+
+def ivf_knn_portable(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k at ``nprobe < n_cells`` whose EVERY stage
+    is engine-portable (VERDICT r5 #6): unlike ``ivf_knn`` — whose
+    Lloyd centroids involve float averaging no second engine can
+    reproduce bit-for-bit, forcing its gate to run at nprobe=n_cells
+    (≡ brute force) — this variant's coarse quantizer is a
+    deterministic hash-seeded selection (``ivf_portable_centroids``)
+    and cell affinity is an INTEGER dot product divided by the
+    centroid norm (IEEE ops on identical inputs → identical doubles
+    in Spark and DuckDB), ties toward the lower cell id. The oracle
+    therefore mirrors cell assignment, probe routing AND the final
+    ranking exactly, gating the approximation a user actually runs.
+
+    Plan shape is the production one: corpus assigned once (the cell
+    doubles as a storage partition key at 10^9 vectors), probes
+    broadcast, each probe scores only ~nprobe/n_cells of the corpus."""
+    cents = ivf_portable_centroids(corpus, n_cells, id_col, vec_col)
+    import math
+
+    cnorms = [math.sqrt(sum(x * x for x in c)) for c in cents]
+
+    def affinities(qcol: Column) -> Column:
+        # ascending lexicographic sort on (d, negcell) + reverse ==
+        # (d DESC, cell ASC) — the same tie rule as the oracle's
+        # row_number() ORDER BY d DESC, cell ASC
+        return F.array(
+            *[
+                F.struct(
+                    (_int_dot(qcol, cent).cast("double") / F.lit(n)).alias("d"),
+                    F.lit(-(i + 1)).alias("negcell"),
+                    F.lit(i + 1).alias("cell"),
+                )
+                for i, (cent, n) in enumerate(zip(cents, cnorms))
+            ]
+        )
+
+    c = (
+        _with_norm(corpus, id_col, vec_col, "neighbor")
+        .withColumn("_q", quantize_expr(F.col("neighbor_v")))
+        .withColumn("cell", F.reverse(F.array_sort(affinities(F.col("_q"))))[0]["cell"])
+        .drop("_q")
+    )
+    p = (
+        _with_norm(probes, id_col, vec_col, "probe")
+        .withColumn("_q", quantize_expr(F.col("probe_v")))
+        .withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(F.reverse(F.array_sort(affinities(F.col("_q")))), 1, nprobe),
+                    lambda s: s["cell"],
+                )
+            ),
+        )
+        .drop("_q")
+    )
+    scored = c.join(
+        F.broadcast(p),
+        (F.col("probe_id") != F.col("neighbor_id")) & (p.cell == c.cell),
+    ).select(
+        "probe_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("probe_v"), F.col("neighbor_v"))
+            / (F.col("probe_nrm") * F.col("neighbor_nrm")),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.filter(F.col("score").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", "score")
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float,

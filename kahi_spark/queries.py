@@ -946,6 +946,11 @@ GATE_WINDOW = 50
 #:                          quality_score — whose punct/stopword
 #:                          gating has NO gated sibling (ADVICE r4)
 #:                          — gets driver-scale coverage back
+#:   knn_ivf              — nprobe=n_cells degenerate (≡ brute force,
+#:                          same verdict as gated knn_cosine); its
+#:                          IVF machinery is now gated by
+#:                          knn_ivf_pruned at nprobe < n_cells with a
+#:                          stage-mirroring oracle (VERDICT r5 #6)
 _DEMOTED = [
     "embedding_neardup",
     "simhash_neardup",
@@ -954,6 +959,7 @@ _DEMOTED = [
     "intersect_custkeys",
     "distinct_users",
     "doc_fingerprint",
+    "knn_ivf",
 ]
 
 #: entries that MUST hold early positions: the round-3 sink/decode/

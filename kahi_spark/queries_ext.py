@@ -1408,6 +1408,81 @@ SELECT probe_id, neighbor_id, rank, score FROM ranked WHERE rank <= 5
 """
 
 
+def q_knn_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at ``nprobe=2 < n_cells=8`` — the approximation a user
+    actually runs (VERDICT r5 #6). The portable variant's coarse
+    quantizer is hash-seeded and integer-quantized, so the oracle
+    reproduces cell assignment, probe routing and ranking exactly
+    (see ``ivf_knn_portable``); no stage is degenerate."""
+    from kahi_spark.operators.similarity import ivf_knn_portable
+
+    emb = _read(spark, sf_dir, "embeddings", reshard=False)
+    probes = emb.filter(F.col("vec_id") < 5)
+    return ivf_knn_portable(probes, emb, k=5, n_cells=8, nprobe=2)
+
+
+# mirrors ivf_knn_portable stage by stage: same h60-seeded centroid
+# selection, same integer-quantized affinity (exact in both engines:
+# |int dot| < 2^53 so the DOUBLE division inputs are identical), same
+# (d DESC, cell ASC) tie rule, same rounded-float final scoring
+ORACLE_KNN_IVF_PRUNED = """
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+    FROM embeddings
+),
+seeds AS (
+    SELECT c, row_number() OVER (ORDER BY h, vid) AS cell FROM (
+        SELECT qv AS c,
+               ('0x' || substr(md5(CAST(vec_id AS STRING)), 1, 15))::BIGINT AS h,
+               vec_id AS vid
+        FROM e WHERE nrm IS NOT NULL AND nrm <> 0
+        ORDER BY h, vid LIMIT 8) t
+),
+cn AS (
+    SELECT cell, c,
+           sqrt(CAST(list_inner_product(c, c) AS DOUBLE)) AS cnorm
+    FROM seeds
+),
+aff AS (
+    SELECT e.vec_id, cn.cell,
+           CAST(list_inner_product(e.qv, cn.c) AS DOUBLE) / cn.cnorm AS d
+    FROM e CROSS JOIN cn
+),
+assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (
+            PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rn
+        FROM aff) t
+    WHERE rn = 1
+),
+pcells AS (
+    SELECT vec_id AS probe_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (
+            PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rn
+        FROM aff WHERE vec_id < 5) t
+    WHERE rn <= 2
+),
+scored AS (
+    SELECT p.probe_id, a.vec_id AS neighbor_id,
+           round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS score
+    FROM pcells p
+    JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.probe_id
+    JOIN e x ON x.vec_id = p.probe_id
+    JOIN e y ON y.vec_id = a.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY score DESC, neighbor_id ASC) AS rank
+    FROM scored WHERE score IS NOT NULL
+)
+SELECT probe_id, neighbor_id, rank, score FROM ranked WHERE rank <= 5
+"""
+
+
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs over the FULL table via LSH bucket
     blocking (no silent caps): candidates share a bucket in some
@@ -1876,6 +1951,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_neardup_wide": q_simhash_neardup_wide,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
+    "knn_ivf_pruned": q_knn_ivf_pruned,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "multimodal_decode": q_multimodal_decode,
 }
@@ -1907,6 +1983,7 @@ ORACLES_EXT: dict[str, str] = {
     "simhash_neardup_wide": _oracle_simhash_wide(),
     "knn_lsh": _oracle_knn_lsh(),
     "knn_ivf": ORACLE_KNN_IVF,
+    "knn_ivf_pruned": ORACLE_KNN_IVF_PRUNED,
     "embedding_neardup_lsh": _oracle_neardup_lsh(),
     # binary decode is gated against the persisted construction-time
     # ground truth (see _ensure_expected_assets)

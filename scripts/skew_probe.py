@@ -33,7 +33,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 HOT_TURNS = 1
-KINDS = ("salt0", "salt16", "agg")
+KINDS = ("salt0", "salt16", "agg", "auto")
 
 
 def _measure_reduce(kind: str, event_path: str, cpus: int) -> dict:
@@ -47,8 +47,8 @@ def _measure_reduce(kind: str, event_path: str, cpus: int) -> dict:
     ev = spark.read.parquet(event_path)
 
     def reduced():
-        if kind == "agg":
-            return latest_change_per_key(ev, strategy="agg")
+        if kind in ("agg", "auto"):
+            return latest_change_per_key(ev, strategy=kind)
         return latest_change_per_key(ev, salt_buckets=int(kind[4:]))
 
     def job():
@@ -143,6 +143,7 @@ def main() -> None:
         assert meta["salt0"]["rows"] == meta["salt16"]["rows"] == meta["agg"]["rows"]
         assert meta["salt0"]["chk"] == meta["salt16"]["chk"], "salting changed values"
         assert meta["salt0"]["chk"] == meta["agg"]["chk"], "agg strategy changed values"
+        assert meta["salt0"]["chk"] == meta["auto"]["chk"], "auto strategy changed values"
         for kind in KINDS:
             out[f"reduce_{kind}"] = {
                 "wall_s": min(walls[kind]), "all_wall_s": walls[kind]
@@ -152,6 +153,36 @@ def main() -> None:
         )
         out["agg_speedup"] = round(min(walls["salt0"]) / min(walls["agg"]), 3)
         out["parity"] = True
+    if os.environ.get("KAHI_SKEW_SKIP_DECISIONS") != "1":
+        # the auto decision itself, across the three measured skew
+        # regimes (VERDICT r5 #4): it must match the best manual
+        # choice from the timing table — window at uniform and at a
+        # 10%-hot key, agg at a 50%-hot key
+        import bench as _b
+
+        skew50_path = _b.cached_events(
+            n_events, 128, "skew", hot_turns=HOT_TURNS, hot_fraction=0.5
+        )
+        spark = _b.fresh_session(f"local[{cpus}]", cpus)
+        from kahi_spark.operators.merge import pick_reduce_strategy
+
+        decisions = {}
+        for label, path in (
+            ("uniform", uniform_path),
+            ("hot10", skew_path),
+            ("hot50", skew50_path),
+        ):
+            t0 = time.time()
+            decisions[label] = {
+                "picked": pick_reduce_strategy(spark.read.parquet(path)),
+                "decision_s": round(time.time() - t0, 3),
+            }
+        spark.stop()
+        out["auto_decisions"] = decisions
+        expected = {"uniform": "window", "hot10": "window", "hot50": "agg"}
+        out["auto_matches_best_manual"] = all(
+            decisions[k]["picked"] == v for k, v in expected.items()
+        )
     if os.environ.get("KAHI_SKEW_SKIP_MOR") != "1":
         read_n = min(n_events, 8_000_000)
         out["mor_read_skewed"] = _measure_mor_read(skew_path, cpus, read_n, "skew")

@@ -301,3 +301,75 @@ def test_ivf_handles_zero_norm_vectors(spark):
         for r in _assign_cells(base, "x_v", "x_nrm", cents, vectorized=False).collect()
     }
     assert lit == cells  # both paths agree, zero vector included
+
+
+def test_ivf_portable_full_probe_equals_bruteforce(spark):
+    """The portable variant at nprobe = n_cells is exactly brute
+    force (cells partition the corpus) — same invariant as the Lloyd
+    variant, independent of the hash-seeded centroid quality."""
+    from kahi_spark.operators.similarity import ivf_knn_portable, knn_bruteforce
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter("vec_id < 5")
+    exact = sorted(map(tuple, knn_bruteforce(probes, emb, k=5).collect()))
+    ivf = sorted(
+        map(tuple, ivf_knn_portable(probes, emb, k=5, n_cells=8, nprobe=8).collect())
+    )
+    assert ivf == exact
+
+
+def test_ivf_portable_pruning_is_real(spark):
+    """At nprobe=2 of 8 cells the candidate restriction must actually
+    bite: every returned neighbor's assigned cell lies in its probe's
+    probed-cell set, and recall vs brute force stays useful on the
+    cluster-structured embeddings."""
+    from kahi_spark.operators.similarity import (
+        _int_dot,
+        _with_norm,
+        ivf_knn_portable,
+        ivf_portable_centroids,
+        knn_bruteforce,
+        quantize_expr,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter("vec_id < 10")
+    got = ivf_knn_portable(probes, emb, k=5, n_cells=8, nprobe=2).collect()
+    assert got, "portable IVF returned nothing"
+
+    # independent re-computation of assignments/routing in local numpy
+    import math
+
+    import numpy as np
+
+    cents = ivf_portable_centroids(emb, 8)
+    cn = np.array(cents, dtype=np.float64)
+    cnorm = np.sqrt((cn * cn).sum(axis=1))
+    rows = emb.select("vec_id", "embedding").collect()
+    q = {
+        r.vec_id: np.array(
+            [math.floor(abs(x * 1000)) * (1 if x >= 0 else -1)
+             + (1 if (abs(x * 1000) - math.floor(abs(x * 1000))) >= 0.5 else 0)
+             * (1 if x >= 0 else -1)
+             for x in r.embedding],
+            dtype=np.float64,
+        )
+        for r in rows
+    }
+    def top_cells(v, n):
+        d = (cn @ v) / cnorm
+        order = sorted(range(8), key=lambda i: (-d[i], i))
+        return [i + 1 for i in order[:n]]
+
+    assigned = {vid: top_cells(v, 1)[0] for vid, v in q.items()}
+    probe_cells = {vid: set(top_cells(q[vid], 2)) for vid in range(10)}
+    for r in got:
+        assert assigned[r.neighbor_id] in probe_cells[r.probe_id], r
+
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in knn_bruteforce(probes, emb, k=5).collect()
+    }
+    approx = {(r.probe_id, r.neighbor_id) for r in got}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.3, recall

@@ -215,3 +215,32 @@ def test_agg_strategy_equals_window_across_random_logs(spark):
         w = sorted(map(tuple, reduce_events_to_state(df, strategy="window").collect()))
         a = sorted(map(tuple, reduce_events_to_state(df, strategy="agg").collect()))
         assert w == a, (seed, n, hot, ht)
+
+
+def test_auto_strategy_picks_and_matches(spark):
+    """strategy='auto' (VERDICT r5 #4): the sampled key-histogram
+    decision picks agg for a 50%-hot log and window for uniform, and
+    the auto path's output is value-identical to both manual paths."""
+    from kahi_spark.gen import make_events
+    from kahi_spark.operators.merge import (
+        pick_reduce_strategy,
+        reduce_events_to_state,
+    )
+
+    hot = spark.createDataFrame(
+        make_events(4000, n_convs=25, seed=5, hot_fraction=0.5, hot_turns=1)
+    )
+    uni = spark.createDataFrame(
+        make_events(4000, n_convs=25, seed=6, hot_fraction=0.0)
+    )
+    # sample_fraction=1.0: the decision must be exact on these tiny
+    # fixtures (the 1% default is for multi-million-row batches)
+    assert pick_reduce_strategy(hot, sample_fraction=1.0) == "agg"
+    assert pick_reduce_strategy(uni, sample_fraction=1.0) == "window"
+    # empty batch → the measured default
+    assert pick_reduce_strategy(hot.limit(0), sample_fraction=1.0) == "window"
+
+    for df in (hot, uni):
+        w = sorted(map(tuple, reduce_events_to_state(df, strategy="window").collect()))
+        au = sorted(map(tuple, reduce_events_to_state(df, strategy="auto").collect()))
+        assert w == au
