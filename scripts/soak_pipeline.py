@@ -63,7 +63,9 @@ def main() -> None:
         max_files_per_trigger=files_per_epoch,
     )
     t0 = time.time()
-    pipe.run_until_idle(timeout_s=900)
+    # scale the idle-timeout with the soak size (the 240M 10× point
+    # needs ~5 min steady even in a quiet window)
+    pipe.run_until_idle(timeout_s=max(900, n_events // 150_000))
     wall = time.time() - t0
     steady = wall - pipe.last_quiesce_wait_s
     out = {
