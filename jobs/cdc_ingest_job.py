@@ -36,9 +36,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--n-buckets", type=int, default=256)
     p.add_argument("--salt-buckets", type=int, default=0, help="hot-key salting fanout")
     p.add_argument(
-        "--reduce-strategy", choices=["window", "agg"], default="window",
+        "--reduce-strategy", choices=["window", "agg", "auto"], default="window",
         help="LWW reduction: 'agg' = map-side-combining max_by — "
-        "bounded per-task work under hot-key skew (skew_probe.py)",
+        "bounded per-task work under hot-key skew (skew_probe.py); "
+        "'auto' = per-batch sampled-histogram pick between the two",
     )
     p.add_argument("--compact-every", type=int, default=8)
     p.add_argument(

@@ -62,6 +62,9 @@ class CdcPipeline:
         reduction bounds per-task work at any skew WITHOUT the salted
         path's second shuffle; salting stays available for regimes
         where one partition cannot even hold a hot key's raw rows.
+        ``reduce_strategy="auto"`` samples each batch's key histogram
+        and picks window vs agg per batch (pick_reduce_strategy) —
+        for unattended pipelines that can't know their skew upfront.
 
         ``resolve_keyless``: events arriving with NULL conv_id are
         fuzzy-matched against the current table state (blocked
