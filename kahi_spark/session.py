@@ -48,6 +48,15 @@ def get_spark(
         .config("spark.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", mem)
+        # long replays accumulate RDD/broadcast/checkpoint refs whose
+        # cleanup rides ContextCleaner WEAK references — the default
+        # periodic System.gc() every 30 min is longer than an entire
+        # soak, so an 80-epoch run piled up localCheckpoint blocks and
+        # per-epoch broadcasts until the heap thrashed (240M-event
+        # soak, GC-overhead-limit kill at ~epoch 30). 2 min bounds the
+        # backlog at negligible cost; on a real cluster the same knob
+        # is standard streaming-driver hygiene.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         # -Xms=-Xmx + AlwaysPreTouch: fault every heap page in at JVM
         # start. Without it, first-touch page faults under 32 threads
         # ran 85-97% SYSTEM time in this virtualized sandbox — 10×+
