@@ -207,6 +207,17 @@ def _measure_once(master: str, parts: int, event_path: str) -> dict:
     return {"wall_s": round(wall, 3), "rows": rows, "steal_pct": steal_pct}
 
 
+def pick_clean_sample(samples: list[dict], clean_pct: float) -> tuple[dict, bool]:
+    """Best (min-wall) sample among the clean (≤``clean_pct`` steal)
+    ones; falls back to min-wall over all samples when no clean
+    window was caught. Returns (sample, had_clean)."""
+    clean = [
+        s for s in samples if s["steal_pct"] is not None and s["steal_pct"] <= clean_pct
+    ]
+    pool = clean or samples
+    return min(pool, key=lambda s: s["wall_s"]), bool(clean)
+
+
 def run_scaling(tmp: str) -> dict:
     """Each measurement runs in its OWN subprocess → fresh JVM.
 
@@ -251,14 +262,7 @@ def run_scaling(tmp: str) -> dict:
             rows_by[label] = rec["rows"]
 
     def pick(label: str) -> tuple[dict, bool]:
-        """Best (min-wall) sample among the clean ones; falls back to
-        min-wall over all samples when no clean window was caught."""
-        ss = samples[label]
-        clean = [
-            s for s in ss if s["steal_pct"] is not None and s["steal_pct"] <= clean_pct
-        ]
-        pool = clean or ss
-        return min(pool, key=lambda s: s["wall_s"]), bool(clean)
+        return pick_clean_sample(samples[label], clean_pct)
 
     rounds = 0
     for rep in range(repeats):
