@@ -43,6 +43,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--compact-every", type=int, default=8)
     p.add_argument(
+        "--compact-ratio", type=float, default=None,
+        help="size-ratio fold trigger: fold when delta rows >= ratio * "
+        "base rows (geometric schedule — bounds total rewrite work at "
+        "long replays); --compact-every bootstraps the first base",
+    )
+    p.add_argument(
         "--compact-async", action="store_true",
         help="fold MOR deltas in a background thread (epoch N+1 "
         "appends while [0..k) folds) instead of blocking the epoch",
@@ -70,6 +76,7 @@ def main(argv: list[str] | None = None) -> int:
         n_buckets=args.n_buckets,
         mode=args.mode,
         compact_every=args.compact_every,
+        compact_ratio=args.compact_ratio,
         compact_async=args.compact_async,
     )
     pipe = CdcPipeline(

@@ -142,6 +142,27 @@ def _file_stats(directory: str, ts_col: str = "ts") -> list[dict]:
     return out
 
 
+def _manifest_row_counts(m: dict) -> tuple[int, int]:
+    """(base_rows, live_delta_rows) from manifest lineage alone — no
+    file I/O. Base = the most recent base-writing commit's recorded
+    per-file rows (compact / init / COW merge); live deltas = the
+    merge-delta commits whose ``d{version}`` dir is still listed in
+    ``m["deltas"]`` (delta dir names are derived from the commit
+    version, see ``_merge_mor``)."""
+    base_rows = 0
+    for c in reversed(m.get("commits", [])):
+        if c.get("op") != "merge-delta" and c.get("files"):
+            base_rows = sum(f.get("rows") or 0 for f in c["files"])
+            break
+    live = set(m.get("deltas", []))
+    delta_rows = sum(
+        sum(f.get("rows") or 0 for f in c.get("files") or [])
+        for c in m.get("commits", [])
+        if c.get("op") == "merge-delta" and f"d{c['version']:08d}" in live
+    )
+    return base_rows, delta_rows
+
+
 class SnapshotTable:
     """A MERGE-able, snapshot-isolated, epoch-ledgered table."""
 
@@ -155,6 +176,7 @@ class SnapshotTable:
         compact_every: int = 8,
         compact_async: bool = False,
         compact_strategy: str = "auto",
+        compact_ratio: float | None = None,
     ) -> None:
         """``mode``:
 
@@ -180,7 +202,23 @@ class SnapshotTable:
         deleted one fold cycle LATE (the manifest's ``trash`` list)
         so a reader plan captured just before the swap never loses
         files mid-job. ``compact()`` stays synchronous; failures in
-        the background fold re-raise on the next merge/wait."""
+        the background fold re-raise on the next merge/wait.
+
+        ``compact_ratio`` (MOR only): SIZE-RATIO fold trigger — fold
+        when accumulated delta rows ≥ ratio × base rows (row counts
+        from manifest lineage, no file I/O), instead of every
+        ``compact_every`` epochs (which stays as the bootstrap rule
+        while the base is empty, and as the sole rule when ratio is
+        None). Rationale, measured at the 240M-event/80-epoch soak:
+        every fold rewrites the whole base, so a FIXED interval does
+        O(N²/K) total rewrite work as the base grows — fold walls
+        grew 34→117 s and compaction ate 60% of the soak. A ratio
+        trigger folds at geometrically-spaced base sizes: total
+        rewrite is O(N·(1+1/ratio)) — the size-tiered schedule
+        RocksDB/Iceberg maintenance uses. Trade: delta count (and MOR
+        read fan-in) between folds grows with the base; pick the
+        ratio from the read-side budget (0.1 ≈ ≤10% of rows read as
+        deltas)."""
         assert mode in ("cow", "mor")
         self.spark = spark
         self.path = path
@@ -190,6 +228,7 @@ class SnapshotTable:
         self.compact_every = compact_every
         self.compact_async = compact_async
         self.compact_strategy = compact_strategy  # used by auto-triggered folds
+        self.compact_ratio = compact_ratio
         #: guards every manifest read-modify-write (epoch appends vs
         #: the background fold's final swap run on different threads)
         self._mlock = threading.RLock()
@@ -737,7 +776,19 @@ class SnapshotTable:
             )
             self._commit_manifest(m2)
             n_deltas = len(m2["deltas"])
-        if n_deltas >= self.compact_every:
+        if self.compact_ratio is not None:
+            base_rows, delta_rows = _manifest_row_counts(m2)
+            # ratio trigger once a base exists (geometric fold
+            # schedule — see __init__); compact_every bootstraps the
+            # first base
+            due = (
+                delta_rows >= self.compact_ratio * base_rows
+                if base_rows > 0
+                else n_deltas >= self.compact_every
+            )
+        else:
+            due = n_deltas >= self.compact_every
+        if due:
             if self.compact_async:
                 self._spawn_compact()
             else:
@@ -1058,6 +1109,10 @@ class SnapshotTable:
                     "strategy": strategy,
                     "wall_s": round(time.time() - t0, 3),
                     "folded": len(folding),
+                    # per-bucket lineage of the new base (metadata-only
+                    # footer read, same as the COW commits) — also
+                    # feeds the compact_ratio trigger's base row count
+                    "files": _file_stats(os.path.join(self.path, snap)),
                 }
             )
             self._commit_manifest(m2)

@@ -53,10 +53,12 @@ def main() -> None:
     ).run_until_idle(timeout_s=120)
     warm_table.read().count()
 
+    ratio = os.environ.get("KAHI_SOAK_COMPACT_RATIO")
     table = SnapshotTable(
         spark, os.path.join(tmp, "t"), n_buckets=cpus, mode="mor",
         compact_every=int(os.environ.get("KAHI_SOAK_COMPACT_EVERY", "4")),
         compact_async=compact_async, compact_strategy=strategy,
+        compact_ratio=float(ratio) if ratio else None,
     )
     pipe = CdcPipeline(
         spark, event_dir, table, os.path.join(tmp, "ckpt"),

@@ -431,3 +431,47 @@ def test_concurrent_same_epoch_delivery_applies_once(spark, tmp_path):
         # single-application result
         assert sorted_state(t) == [("c1", 0, "v1"), ("c2", 0, "w")]
         assert sum(1 for c in t.history() if c["epoch_id"] == 1) == 1
+
+
+def test_ratio_triggered_compaction_geometric_schedule(spark, tmp_path):
+    """compact_ratio (round 6): folds fire when accumulated delta rows
+    reach ratio x base rows — a geometric schedule that bounds total
+    rewrite work over long replays (the fixed interval rewrote the
+    growing base every K epochs; 240M-soak folds grew 34→117 s).
+    Pins: (a) fewer folds than the fixed interval on the same stream,
+    (b) folds spaced further apart as the base grows, (c) state parity
+    with a fixed-interval twin, (d) compact commits record file rows
+    (the trigger's metadata source)."""
+    pdf = make_events(6000, n_convs=400, seed=33)
+    df = spark.createDataFrame(pdf)
+    fixed = SnapshotTable(
+        spark, str(tmp_path / "fx"), n_buckets=4, mode="mor", compact_every=2
+    )
+    ratio = SnapshotTable(
+        spark, str(tmp_path / "rt"), n_buckets=4, mode="mor",
+        compact_every=2, compact_ratio=0.5,
+    )
+    per = 500
+    for e in range(12):
+        batch = df.filter((F.col("seq") >= e * per) & (F.col("seq") < (e + 1) * per))
+        fixed.merge(batch, epoch_id=e)
+        ratio.merge(batch, epoch_id=e)
+    assert sorted_state(fixed) == sorted_state(ratio)
+
+    def fold_epoch_gaps(t):
+        vs = [c["version"] for c in t.history() if c["op"] == "compact"]
+        return vs
+
+    fx_folds = [c for c in fixed.history() if c["op"] == "compact"]
+    rt_folds = [c for c in ratio.history() if c["op"] == "compact"]
+    assert len(rt_folds) < len(fx_folds), (len(rt_folds), len(fx_folds))
+    # commit lineage carries per-file rows for the new base
+    assert all(
+        f.get("rows") is not None for c in rt_folds for f in c["files"]
+    )
+    # geometric spacing: deltas folded per compact grow as the base
+    # grows (each fold waits for ratio x a LARGER base). Fold 0 is
+    # the compact_every bootstrap (no base yet) — excluded.
+    folded = [c["folded"] for c in rt_folds[1:]]
+    assert folded == sorted(folded), folded
+    assert folded[-1] > folded[0]
