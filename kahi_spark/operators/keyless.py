@@ -337,18 +337,12 @@ def resolve_keyless_events(
                 )
             ).alias("_blk"),
         ).select("_p_seq", "turn_idx", "_blk._lb", "_blk._si", "_blk._sv")
-        # the state side of the block join is SLIM too (round 6): the
-        # N_SLOTS explode would otherwise emit every state row 4×
-        # WITH its full feature-hash array (~50-200 longs each), and
-        # those arrays dominate the bytes streamed through the join.
-        # Block on keys only, dedup the (tiny) hit set, then fetch
-        # (_c_role, _c_ft) with one more pass over the checkpointed
-        # feature frame — two slim streams beat one 4×-fat stream
-        # (same trick as the probe side's p_slim + p_feats re-join).
-        hits = (
+        cands = (
             c.select(
                 "_c_conv",
                 "turn_idx",
+                "_c_role",
+                F.col("_ft").alias("_c_ft"),
                 "_lb",
                 F.explode(
                     F.array(
@@ -359,14 +353,12 @@ def resolve_keyless_events(
                     )
                 ).alias("_blk"),
             )
-            .select("_c_conv", "turn_idx", "_lb", "_blk._si", "_blk._sv")
+            .select(
+                "_c_conv", "turn_idx", "_c_role", "_c_ft", "_lb", "_blk._si", "_blk._sv"
+            )
             .join(F.broadcast(p_slim), on=["turn_idx", "_lb", "_si", "_sv"], how="inner")
             .dropDuplicates(["_p_seq", "_c_conv", "turn_idx"])
-            .select("_p_seq", "_c_conv", "turn_idx")
         )
-        cands = c.select(
-            "_c_conv", "turn_idx", "_c_role", F.col("_ft").alias("_c_ft")
-        ).join(F.broadcast(hits), on=["_c_conv", "turn_idx"], how="inner")
     p_feats = p.select("_p_seq", "_p_role", F.col("_ft").alias("_p_ft"))
     scored = (
         cands.join(p_feats, on="_p_seq", how="inner")
