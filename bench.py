@@ -55,6 +55,9 @@ HEADLINE = [
     # round 3: the wide-band (15-bit) SimHash — the family's scale
     # representative (32k-value band keys vs the 256-value 32-bit one)
     "simhash_neardup_wide",
+    # round 6: the gated IVF approximation (nprobe < n_cells,
+    # integer-exact Arrow cell ranking)
+    "knn_ivf_pruned",
 ]
 
 

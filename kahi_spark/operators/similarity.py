@@ -550,6 +550,42 @@ def ivf_portable_centroids(
     return [list(r.q) for r in rows]
 
 
+def _int_cells_pandas_udf(cents: list[list[int]], nprobe: int):
+    """Integer-EXACT Arrow cell ranking for the portable IVF path:
+    quantize (round-half-away-from-zero, the `_buckets_pandas_udf`
+    trick), int64 matmul (exact — |dot| ≪ 2^53), divide by the
+    centroid norm in float64. Every arithmetic step is the same IEEE
+    op on the same inputs as the JVM literal expressions AND the
+    DuckDB oracle, so all three rank cells identically (ties → lower
+    cell id via stable argsort). Exists because the literal tree
+    (n_cells × dim × 2 sites) costs ~2 s of Catalyst planning PER
+    ACTION at just 8×64 — the udf keeps the plan O(1)."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.asarray(cents, dtype=np.int64).T  # (dim, k)
+    cnorm = np.asarray(
+        [math.sqrt(sum(x * x for x in c)) for c in cents], dtype=np.float64
+    )
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        v = np.asarray(vecs.tolist(), dtype=np.float64) * LSH_SCALE
+        absv = np.abs(v)
+        fl = np.floor(absv)
+        q = (np.sign(v) * (fl + (absv - fl >= 0.5))).astype(np.int64)
+        d = (q @ mat).astype(np.float64) / cnorm
+        idx = np.argsort(-d, axis=1, kind="stable")[:, :nprobe].astype("int32") + 1
+        return pd.Series(list(idx))
+
+    return cells
+
+
 def ivf_knn_portable(
     probes: DataFrame,
     corpus: DataFrame,
@@ -558,6 +594,7 @@ def ivf_knn_portable(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k at ``nprobe < n_cells`` whose EVERY stage
     is engine-portable (VERDICT r5 #6): unlike ``ivf_knn`` — whose
@@ -575,6 +612,21 @@ def ivf_knn_portable(
     doubles as a storage partition key at 10^9 vectors), probes
     broadcast, each probe scores only ~nprobe/n_cells of the corpus."""
     cents = ivf_portable_centroids(corpus, n_cells, id_col, vec_col)
+    if vectorized:
+        # integer-exact Arrow ranking (default): same values as the
+        # literal path (cross-checked in tests) at O(1) plan size
+        rank_udf = _int_cells_pandas_udf(cents, n_cells)
+        c = (
+            _with_norm(corpus, id_col, vec_col, "neighbor")
+            .withColumn("cell", rank_udf(F.col("neighbor_v"))[0])
+        )
+        p = (
+            _with_norm(probes, id_col, vec_col, "probe")
+            .withColumn(
+                "cell", F.explode(F.slice(rank_udf(F.col("probe_v")), 1, nprobe))
+            )
+        )
+        return _score_cells(c, p, k)
     import math
 
     cnorms = [math.sqrt(sum(x * x for x in c)) for c in cents]
@@ -614,6 +666,12 @@ def ivf_knn_portable(
         )
         .drop("_q")
     )
+    return _score_cells(c, p, k)
+
+
+def _score_cells(c: DataFrame, p: DataFrame, k: int) -> DataFrame:
+    """Shared IVF tail: broadcast the routed probes into the assigned
+    corpus, exact rounded cosine on cell-mates, per-probe top-k."""
     scored = c.join(
         F.broadcast(p),
         (F.col("probe_id") != F.col("neighbor_id")) & (p.cell == c.cell),

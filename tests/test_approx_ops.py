@@ -318,6 +318,36 @@ def test_ivf_portable_full_probe_equals_bruteforce(spark):
     assert ivf == exact
 
 
+def test_ivf_portable_vectorized_matches_literal(spark):
+    """The integer-exact Arrow ranking (default) must equal the JVM
+    literal-expression path row for row — same quantization, same
+    int64 dots, same IEEE division and tie rule; the udf exists only
+    to kill the ~2 s/action Catalyst planning cost of the 512-literal
+    tree (measured 3.7 s → 1.1 s at sf0.1)."""
+    from kahi_spark.operators.similarity import ivf_knn_portable
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter("vec_id < 10")
+    for nprobe in (2, 8):
+        a = sorted(
+            map(
+                tuple,
+                ivf_knn_portable(
+                    probes, emb, k=5, n_cells=8, nprobe=nprobe, vectorized=True
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                ivf_knn_portable(
+                    probes, emb, k=5, n_cells=8, nprobe=nprobe, vectorized=False
+                ).collect(),
+            )
+        )
+        assert a == b, nprobe
+
+
 def test_ivf_portable_pruning_is_real(spark):
     """At nprobe=2 of 8 cells the candidate restriction must actually
     bite: every returned neighbor's assigned cell lies in its probe's
