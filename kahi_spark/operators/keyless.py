@@ -54,13 +54,20 @@ surrogate (``u<seq>``) — same shape as Kahi inserting a brand-new
 record when no candidate matches.
 
 **Join shape** (the 100-TB part): probe block rows are SLIM (ids +
-block keys) and broadcast into ONE streaming pass over state; state
-feature arrays ride only on the few colliding rows into a
-``dropDuplicates`` + probe-feature re-join. The state side is never
-shuffled and never re-scanned. At 10^10 rows the feature/slot
-columns come from a PERSISTED index maintained at merge time (the
-``sinks/dedup_index.py`` pattern) instead of being recomputed per
-batch — the join shape is identical.
+block keys) and broadcast into ONE streaming pass over state; the
+state side streams its feature arrays through the slot explode into
+the hash probe (only colliding rows SURVIVE into the dropDuplicates
++ probe-feature re-join). The state side is never shuffled and never
+re-scanned. A slimmer variant — keys-only through the explode plus a
+second pass over the checkpointed features to fetch arrays — was
+A/B'd in round 6 and LOST 12% at sf0.1 (the rescan outweighs the 4×
+array duplication at this scale; BASELINE.md round-6 keyless note),
+so the array-carrying single pass is the measured choice here. At
+10^10 rows the feature/slot columns come from a PERSISTED index
+maintained at merge time (the ``sinks/dedup_index.py`` pattern)
+instead of being recomputed per batch — the join shape is identical,
+and the slim-rejoin idea is worth re-measuring there since the
+rescan becomes columnar and bucket-prunable.
 
 Everything is deterministic (md5-keyed hashing, fixed permutation
 constants), so the DuckDB oracle replicates blocking, score, cascade
