@@ -43,6 +43,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--compact-every", type=int, default=8)
     p.add_argument(
+        "--compact-minor-every", type=int, default=None,
+        help="delta-tier (minor) fold: when the major isn't due but this "
+        "many delta files accumulated, LWW-merge them into one delta — "
+        "bounds MOR read fan-in between ratio-spaced base rewrites",
+    )
+    p.add_argument(
         "--compact-ratio", type=float, default=None,
         help="size-ratio fold trigger: fold when delta rows >= ratio * "
         "base rows (geometric schedule — bounds total rewrite work at "
@@ -77,6 +83,7 @@ def main(argv: list[str] | None = None) -> int:
         mode=args.mode,
         compact_every=args.compact_every,
         compact_ratio=args.compact_ratio,
+        compact_minor_every=args.compact_minor_every,
         compact_async=args.compact_async,
     )
     pipe = CdcPipeline(

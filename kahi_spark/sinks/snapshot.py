@@ -146,20 +146,23 @@ def _manifest_row_counts(m: dict) -> tuple[int, int]:
     """(base_rows, live_delta_rows) from manifest lineage alone — no
     file I/O. Base = the most recent base-writing commit's recorded
     per-file rows (compact / init / COW merge); live deltas = the
-    merge-delta commits whose ``d{version}`` dir is still listed in
-    ``m["deltas"]`` (delta dir names are derived from the commit
-    version, see ``_merge_mor``)."""
+    delta-writing commits (merge-delta or compact-minor) whose dir is
+    still listed in ``m["deltas"]`` (dir names come from the commit's
+    ``dir`` field, falling back to the ``d{version}`` derivation for
+    pre-round-6 merge-delta commits)."""
     base_rows = 0
     for c in reversed(m.get("commits", [])):
-        if c.get("op") != "merge-delta" and c.get("files"):
+        if c.get("op") not in ("merge-delta", "compact-minor") and c.get("files"):
             base_rows = sum(f.get("rows") or 0 for f in c["files"])
             break
     live = set(m.get("deltas", []))
-    delta_rows = sum(
-        sum(f.get("rows") or 0 for f in c.get("files") or [])
-        for c in m.get("commits", [])
-        if c.get("op") == "merge-delta" and f"d{c['version']:08d}" in live
-    )
+    delta_rows = 0
+    for c in m.get("commits", []):
+        d = c.get("dir") or (
+            f"d{c['version']:08d}" if c.get("op") == "merge-delta" else None
+        )
+        if d and d in live:
+            delta_rows += sum(f.get("rows") or 0 for f in c.get("files") or [])
     return base_rows, delta_rows
 
 
@@ -177,6 +180,7 @@ class SnapshotTable:
         compact_async: bool = False,
         compact_strategy: str = "auto",
         compact_ratio: float | None = None,
+        compact_minor_every: int | None = None,
     ) -> None:
         """``mode``:
 
@@ -218,7 +222,20 @@ class SnapshotTable:
         RocksDB/Iceberg maintenance uses. Trade: delta count (and MOR
         read fan-in) between folds grows with the base; pick the
         ratio from the read-side budget (0.1 ≈ ≤10% of rows read as
-        deltas)."""
+        deltas).
+
+        ``compact_minor_every`` (MOR only): the second LSM tier.
+        When the MAJOR (base-rewriting) fold is not yet due but the
+        live delta-file count reaches this many, the deltas alone are
+        LWW-merged into ONE delta dir — cost O(deltas), the base is
+        never touched, tombstones survive (nothing older than the
+        base is dropped without folding INTO the base). This bounds
+        MOR read fan-in between ratio-spaced majors: at the
+        480M-event soak the ratio trigger alone left the compactor
+        saturated rewriting a ~200M-row base every ~8 epochs (walls
+        45-182 s, 75% of the run); minors keep the delta set small
+        for a fraction of the cost so majors can be spaced by
+        ``compact_ratio`` honestly."""
         assert mode in ("cow", "mor")
         self.spark = spark
         self.path = path
@@ -229,6 +246,7 @@ class SnapshotTable:
         self.compact_async = compact_async
         self.compact_strategy = compact_strategy  # used by auto-triggered folds
         self.compact_ratio = compact_ratio
+        self.compact_minor_every = compact_minor_every
         #: guards every manifest read-modify-write (epoch appends vs
         #: the background fold's final swap run on different threads)
         self._mlock = threading.RLock()
@@ -766,6 +784,7 @@ class SnapshotTable:
                     "version": version,
                     "epoch_id": epoch_id,
                     "op": "merge-delta",
+                    "dir": delta_dir,
                     "wall_s": round(time.time() - t0, 3),
                     # JSON null when the batch had no ts (never the
                     # literal string "None" — COW's _commit agrees)
@@ -776,6 +795,7 @@ class SnapshotTable:
             )
             self._commit_manifest(m2)
             n_deltas = len(m2["deltas"])
+        minor = False
         if self.compact_ratio is not None:
             base_rows, delta_rows = _manifest_row_counts(m2)
             # ratio trigger once a base exists (geometric fold
@@ -786,11 +806,19 @@ class SnapshotTable:
                 if base_rows > 0
                 else n_deltas >= self.compact_every
             )
+            if (
+                not due
+                and self.compact_minor_every
+                and n_deltas >= self.compact_minor_every
+            ):
+                due, minor = True, True
         else:
             due = n_deltas >= self.compact_every
         if due:
             if self.compact_async:
-                self._spawn_compact()
+                self._spawn_compact(minor=minor)
+            elif minor:
+                self.compact_minor()
             else:
                 self.compact(self.compact_strategy)
         return True
@@ -978,6 +1006,62 @@ class SnapshotTable:
         with self._fold_lock:  # at most ONE fold at a time
             self._compact_locked_body(strategy)
 
+    def compact_minor(self) -> None:
+        """MINOR (delta-tier) fold: LWW-merge the live deltas into ONE
+        delta dir without touching the base — cost O(deltas). The
+        merged dir keeps every winning row INCLUDING tombstones (a
+        delete may still need to beat a base row at read/major time),
+        so read results are identical before and after (parity-tested
+        against a minor-free twin). Serialized with major folds via
+        the same fold lock."""
+        self.wait_for_compaction()
+        with self._fold_lock:
+            self._compact_minor_locked()
+
+    def _compact_minor_locked(self) -> None:
+        with self._mlock:
+            m = self._read_manifest()
+            folding = list(m["deltas"])
+        if len(folding) < 2:
+            return
+        t0 = time.time()
+        tag = uuid.uuid4().hex[:8]
+        out_name = f"_minor_out_{tag}"
+        # deltas only (snapshot=None): the LWW resolve keeps the
+        # winning row per key across the frozen set; tombstones ride
+        # along untouched
+        merged = self._read_parts(None, folding)
+        merged.write.mode("overwrite").parquet(os.path.join(self.path, out_name))
+        with self._mlock:
+            m2 = self._read_manifest()
+            version = m2["version"] + 1
+            dm = f"dm{version:08d}"
+            final = os.path.join(self.path, dm)
+            if os.path.isdir(final):  # crash leftover, never committed
+                shutil.rmtree(final)
+            os.rename(os.path.join(self.path, out_name), final)
+            # same one-cycle-late deletion discipline as major folds
+            for d in m2.get("trash", []):
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+            m2["version"] = version
+            # merged dir REPLACES the frozen set, ahead of any deltas
+            # appended mid-merge (list order is cosmetic — the read
+            # resolve orders by (ts, seq), never by position)
+            m2["deltas"] = [dm] + [d for d in m2["deltas"] if d not in folding]
+            m2["trash"] = list(folding)
+            m2["commits"].append(
+                {
+                    "version": version,
+                    "epoch_id": None,
+                    "op": "compact-minor",
+                    "dir": dm,
+                    "wall_s": round(time.time() - t0, 3),
+                    "folded": len(folding),
+                    "files": _file_stats(final),
+                }
+            )
+            self._commit_manifest(m2)
+
     def _compact_locked_body(self, strategy: str) -> None:
         # freeze the fold's inputs; appends landing mid-fold stay out
         with self._mlock:
@@ -1003,8 +1087,10 @@ class SnapshotTable:
         for e in os.scandir(self.path):
             if not e.is_dir():
                 continue
-            if e.name.startswith("_compact_winners_") or e.name.startswith(
-                "_compact_out_"
+            if (
+                e.name.startswith("_compact_winners_")
+                or e.name.startswith("_compact_out_")
+                or e.name.startswith("_minor_out_")
             ):
                 shutil.rmtree(e.path, ignore_errors=True)
             elif (
@@ -1029,7 +1115,9 @@ class SnapshotTable:
                 # ≥ v_at_start — a dir still being written is never
                 # touched, while a genuine orphan's label has been
                 # overtaken by at least one later commit.
-                digits = e.name[1:].split("-", 1)[0]
+                # "d<version>" epoch deltas and "dm<version>" minor
+                # merges share the sweep rule
+                digits = e.name.lstrip("dm").split("-", 1)[0]
                 if digits.isdigit() and int(digits) < v_at_start:
                     shutil.rmtree(e.path, ignore_errors=True)
         if strategy == "auto":
@@ -1118,7 +1206,7 @@ class SnapshotTable:
             self._commit_manifest(m2)
 
     # --- background compaction ---------------------------------------------
-    def _spawn_compact(self) -> None:
+    def _spawn_compact(self, minor: bool = False) -> None:
         """Start a background fold unless one is already in flight —
         including a SYNCHRONOUS compact() running on another thread
         (the fold lock, not just the thread handle, is the truth)."""
@@ -1129,7 +1217,11 @@ class SnapshotTable:
 
         def run() -> None:
             try:
-                self._compact_once(self.compact_strategy)
+                if minor:
+                    with self._fold_lock:
+                        self._compact_minor_locked()
+                else:
+                    self._compact_once(self.compact_strategy)
             except BaseException as e:  # surfaced by _reraise/wait
                 self._compact_exc = e
 

@@ -54,11 +54,13 @@ def main() -> None:
     warm_table.read().count()
 
     ratio = os.environ.get("KAHI_SOAK_COMPACT_RATIO")
+    minor = os.environ.get("KAHI_SOAK_COMPACT_MINOR")
     table = SnapshotTable(
         spark, os.path.join(tmp, "t"), n_buckets=cpus, mode="mor",
         compact_every=int(os.environ.get("KAHI_SOAK_COMPACT_EVERY", "4")),
         compact_async=compact_async, compact_strategy=strategy,
         compact_ratio=float(ratio) if ratio else None,
+        compact_minor_every=int(minor) if minor else None,
     )
     pipe = CdcPipeline(
         spark, event_dir, table, os.path.join(tmp, "ckpt"),

@@ -475,3 +475,43 @@ def test_ratio_triggered_compaction_geometric_schedule(spark, tmp_path):
     folded = [c["folded"] for c in rt_folds[1:]]
     assert folded == sorted(folded), folded
     assert folded[-1] > folded[0]
+
+
+def test_minor_compaction_parity_and_fanin(spark, tmp_path):
+    """Two-tier compaction (round 6): minor (delta-tier) merges fire
+    when the major isn't due, LWW-merging the live deltas into ONE
+    dir without touching the base. Pins: (a) state parity with a
+    minor-free twin under updates AND deletes (tombstones must
+    survive a minor merge — they may still need to beat a base row),
+    (b) read fan-in actually bounded (live delta count collapses),
+    (c) majors still fire on the ratio, (d) exactly-once replay
+    unaffected."""
+    pdf = make_events(6000, n_convs=300, seed=44, delete_rate=0.15)
+    df = spark.createDataFrame(pdf)
+    plain = SnapshotTable(
+        spark, str(tmp_path / "pl"), n_buckets=4, mode="mor", compact_every=100
+    )
+    tiered = SnapshotTable(
+        spark, str(tmp_path / "ti"), n_buckets=4, mode="mor",
+        compact_every=3, compact_ratio=1.0, compact_minor_every=3,
+    )
+    per = 500
+    for e in range(12):
+        batch = df.filter((F.col("seq") >= e * per) & (F.col("seq") < (e + 1) * per))
+        plain.merge(batch, epoch_id=e)
+        tiered.merge(batch, epoch_id=e)
+        # live delta fan-in stays bounded by the minor threshold plus
+        # the appends since the last fold
+        import json as _json
+        import os as _os
+
+        man = _json.loads(
+            open(_os.path.join(str(tmp_path / "ti"), "_manifest.json")).read()
+        )
+        assert len(man["deltas"]) <= 4, (e, man["deltas"])
+    assert sorted_state(plain) == sorted_state(tiered)
+    ops = [c["op"] for c in tiered.history()]
+    assert "compact-minor" in ops
+    # replaying a committed epoch is still a no-op
+    assert tiered.merge(df.filter("seq < 500"), epoch_id=0) is False
+    assert sorted_state(plain) == sorted_state(tiered)
