@@ -144,18 +144,24 @@ def _file_stats(directory: str, ts_col: str = "ts") -> list[dict]:
 
 def _manifest_row_counts(m: dict) -> tuple[int, int]:
     """(base_rows, live_delta_rows) from manifest lineage alone — no
-    file I/O. Base = the most recent base-writing commit's recorded
-    per-file rows (compact / init / COW merge); live deltas = the
-    delta-writing commits (merge-delta or compact-minor) whose dir is
-    still listed in ``m["deltas"]`` (dir names come from the commit's
-    ``dir`` field, falling back to the ``d{version}`` derivation for
-    pre-round-6 merge-delta commits)."""
+    file I/O. Preferred source: the explicit ``base_rows`` field and
+    ``delta_rows_by_dir`` map that every base/delta-writing commit
+    maintains — O(1) and immune to the COMMITS_HOT archive window
+    (at design-point epoch counts, thousands of epochs can pass
+    between majors and the base commit falls out of the hot list).
+    Fallback for pre-round-6 manifests: scan the hot commits."""
+    live = set(m.get("deltas", []))
+    by_dir = m.get("delta_rows_by_dir")
+    if by_dir is not None:
+        return (
+            m.get("base_rows") or 0,
+            sum(r for d, r in by_dir.items() if d in live),
+        )
     base_rows = 0
     for c in reversed(m.get("commits", [])):
         if c.get("op") not in ("merge-delta", "compact-minor") and c.get("files"):
             base_rows = sum(f.get("rows") or 0 for f in c["files"])
             break
-    live = set(m.get("deltas", []))
     delta_rows = 0
     for c in m.get("commits", []):
         d = c.get("dir") or (
@@ -164,6 +170,10 @@ def _manifest_row_counts(m: dict) -> tuple[int, int]:
         if d and d in live:
             delta_rows += sum(f.get("rows") or 0 for f in c.get("files") or [])
     return base_rows, delta_rows
+
+
+def _rows_of(files: list[dict]) -> int:
+    return sum(f.get("rows") or 0 for f in files)
 
 
 class SnapshotTable:
@@ -594,6 +604,7 @@ class SnapshotTable:
                 resolved["watermark"] = str(resolved["watermark"])
             # per-bucket lineage from the written footers (metadata-only)
             resolved["files"] = _file_stats(os.path.join(self.path, snap))
+            m["base_rows"] = _rows_of(resolved["files"])
             m["version"] = version
             m["snapshot"] = snap
             self._record_snapshot_version(m, version)
@@ -777,6 +788,7 @@ class SnapshotTable:
             version = m2["version"] + 1
             m2["version"] = version
             m2["deltas"].append(delta_dir)
+            m2.setdefault("delta_rows_by_dir", {})[delta_dir] = _rows_of(files)
             m2["key_cols"] = list(self.key_cols)
             m2["epochs"][str(epoch_id)] = version
             m2["commits"].append(
@@ -1049,6 +1061,11 @@ class SnapshotTable:
             # resolve orders by (ts, seq), never by position)
             m2["deltas"] = [dm] + [d for d in m2["deltas"] if d not in folding]
             m2["trash"] = list(folding)
+            stats = _file_stats(final)
+            by = m2.setdefault("delta_rows_by_dir", {})
+            for d in folding:
+                by.pop(d, None)
+            by[dm] = _rows_of(stats)
             m2["commits"].append(
                 {
                     "version": version,
@@ -1057,7 +1074,7 @@ class SnapshotTable:
                     "dir": dm,
                     "wall_s": round(time.time() - t0, 3),
                     "folded": len(folding),
-                    "files": _file_stats(final),
+                    "files": stats,
                 }
             )
             self._commit_manifest(m2)
@@ -1189,6 +1206,14 @@ class SnapshotTable:
             m2["trash"] = trash
             m2["key_cols"] = list(self.key_cols)
             m2["base_n_buckets"] = self.n_buckets
+            # per-bucket lineage of the new base (metadata-only footer
+            # read, same as the COW commits) — also feeds the
+            # compact_ratio trigger's base row count
+            stats = _file_stats(os.path.join(self.path, snap))
+            m2["base_rows"] = _rows_of(stats)
+            by = m2.setdefault("delta_rows_by_dir", {})
+            for d in folding:
+                by.pop(d, None)
             m2["commits"].append(
                 {
                     "version": version,
@@ -1197,10 +1222,7 @@ class SnapshotTable:
                     "strategy": strategy,
                     "wall_s": round(time.time() - t0, 3),
                     "folded": len(folding),
-                    # per-bucket lineage of the new base (metadata-only
-                    # footer read, same as the COW commits) — also
-                    # feeds the compact_ratio trigger's base row count
-                    "files": _file_stats(os.path.join(self.path, snap)),
+                    "files": stats,
                 }
             )
             self._commit_manifest(m2)
