@@ -515,3 +515,33 @@ def test_minor_compaction_parity_and_fanin(spark, tmp_path):
     # replaying a committed epoch is still a no-op
     assert tiered.merge(df.filter("seq < 500"), epoch_id=0) is False
     assert sorted_state(plain) == sorted_state(tiered)
+
+
+def test_minor_crash_leftovers_swept_and_harmless(spark, tmp_path):
+    """A minor merge that crashes mid-flight leaves either a
+    _minor_out_* temp dir or a renamed-but-never-committed dm* dir.
+    Neither is referenced by the manifest, so reads ignore them; the
+    next major fold's sweep removes both (the dm orphan only once its
+    version label has been overtaken — same rule as epoch deltas)."""
+    import os
+
+    pdf = make_events(1200, n_convs=30, seed=7)
+    df = spark.createDataFrame(pdf)
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), n_buckets=2, mode="mor",
+        compact_every=100, compact_ratio=1.0, compact_minor_every=100,
+    )
+    t.merge(df.filter("seq < 600"), epoch_id=0)
+    t.merge(df.filter("seq >= 600"), epoch_id=1)
+    before = sorted_state(t)
+
+    # crash artifacts: temp output + an uncommitted dm dir whose
+    # version label is already stale (0 < current manifest version)
+    os.makedirs(str(tmp_path / "t" / "_minor_out_deadbeef"))
+    os.makedirs(str(tmp_path / "t" / "dm00000000"))
+    assert sorted_state(t) == before  # reads never see orphans
+
+    t.compact(strategy="global")
+    assert not os.path.exists(str(tmp_path / "t" / "_minor_out_deadbeef"))
+    assert not os.path.exists(str(tmp_path / "t" / "dm00000000"))
+    assert sorted_state(t) == before
