@@ -26,9 +26,14 @@ def extract_tool_expr(text_col: Column | str, tool_col: Column | str | None = No
     """Tool name: explicit ``tool`` column wins; else first embedded
     marker in the text; else NULL."""
     t = F.col(text_col) if isinstance(text_col, str) else text_col
-    m1 = F.regexp_extract(t, _TOOL_PAT, 1)
-    m2 = F.regexp_extract(t, _TOOL_PAT, 2)
-    extracted = F.when(m1 != "", m1).when(m2 != "", m2)
+    # ONE regex pass (round-7; was two group-extracts = two full-text
+    # scans): take group 0 of the FIRST match, then slice the name out
+    # with plain string ops — both marker shapes have a 6-char prefix
+    # ('<tool:' / '[tool=') and a 1-char suffix ('>' / ']'), so the
+    # name is exactly substr(7, len-7). Group 1/2 of the first match
+    # are the same characters, so the value is unchanged.
+    m0 = F.regexp_extract(t, _TOOL_PAT, 0)
+    extracted = F.when(m0 != "", m0.substr(F.lit(7), F.length(m0) - 7))
     if tool_col is None:
         return extracted
     tc = F.col(tool_col) if isinstance(tool_col, str) else tool_col

@@ -207,10 +207,18 @@ def minhash_signatures(
     verdict is signature-estimated Jaccard, not exact-Jaccard —
     see sinks/dedup_index.py)."""
     coeffs = minhash_coeffs(n_hashes, seed)
-    base = h60_md5_expr(F.col("shingle")) if portable else F.xxhash64("shingle")
-    h = F.pmod(base, F.lit(_P))
+    # round 7: one SQL string per aggregate (64 Column-operator chains
+    # cost ~0.3 s of py4j round-trips per query construction). The
+    # shared inner hash is spelled once per aggregate; at runtime the
+    # subexpression-elimination pass hashes each shingle once.
+    base_sql = (
+        "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)"
+        if portable
+        else "xxhash64(shingle)"
+    )
+    h_sql = f"pmod({base_sql}, {_P})"
     aggs = [
-        F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P))).alias(f"mh_{i}")
+        F.expr(f"min(pmod({a} * {h_sql} + {b}, {_P}))").alias(f"mh_{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
     return shingles.groupBy(id_col).agg(*aggs)
@@ -347,32 +355,34 @@ def with_simhash32_md5(
     # (CollapseProject keeps cheap aliases inline; md5 is not cheap).
     # Bit-counts aggregate PACKED (3 per long, 20-bit fields) — same
     # trick as with_simhash60_md5, identical fingerprint values.
+    # Round 7: the packed/fold expressions are built as SQL strings
+    # (one parser call each) — the loop-of-Column-operators form cost
+    # >1 s of py4j round-trips PER QUERY CONSTRUCTION (measured; the
+    # expr-string build is ~3 ms for identical expressions).
     hashed = toks.select(id_col, F.md5(F.col("tok")).alias("h"))
 
-    def packed(j: int) -> F.Column:
-        out = F.lit(0).cast("long")
-        for k in range(3):
-            b = 3 * j + k
-            if b >= 32:
-                break
-            bit = (F.substring(F.col("h"), b + 1, 1) >= "8").cast("long")
-            out = out + F.shiftleft(bit, 20 * k)
-        return out
+    def packed_sql(j: int) -> str:
+        terms = [
+            f"shiftleft(CAST((substr(h, {3 * j + k + 1}, 1) >= '8') AS BIGINT), {20 * k})"
+            for k in range(3)
+            if 3 * j + k < 32
+        ]
+        return " + ".join(terms)
 
     n_packs = (32 + 2) // 3
-    votes = hashed.select(id_col, *[packed(j).alias(f"p{j}") for j in range(n_packs)])
+    votes = hashed.select(
+        id_col, *[F.expr(packed_sql(j)).alias(f"p{j}") for j in range(n_packs)]
+    )
     sums = votes.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_n"),
         *[F.sum(f"p{j}").alias(f"p{j}") for j in range(n_packs)],
     )
-    fp = F.lit(0).cast("long")
-    for b in range(32):
-        j, k = b // 3, b % 3
-        cnt = F.shiftright(F.col(f"p{j}"), 20 * k).bitwiseAND(F.lit((1 << 20) - 1))
-        fp = fp + F.when(cnt * 2 > F.col("_n"), F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return sums.select(F.col(id_col), fp.alias("simhash32"))
+    fp_sql = " + ".join(
+        f"(CASE WHEN (((shiftright(p{b // 3}, {20 * (b % 3)}) & 1048575) * 2) > _n) "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(32)
+    )
+    return sums.select(F.col(id_col), F.expr(fp_sql).alias("simhash32"))
 
 
 def h60_md5_expr(col: Column) -> Column:
@@ -412,28 +422,28 @@ def with_simhash60_md5(
     )
     hashed = toks.select(id_col, h60_md5_expr(F.col("tok")).alias("h"))
 
-    def packed(j: int) -> F.Column:  # counters for bits 3j, 3j+1, 3j+2
-        out = F.lit(0).cast("long")
-        for k in range(3):
-            bit = F.shiftright(F.col("h"), 3 * j + k).bitwiseAND(F.lit(1)).cast("long")
-            out = out + F.shiftleft(bit, 20 * k)
-        return out
+    # round 7: packed/fold as SQL strings — the Column-operator loops
+    # cost ~2 s of py4j round-trips per query construction (measured:
+    # fold alone 1.6 s → 3 ms as one expr string; values identical)
+    def packed_sql(j: int) -> str:  # counters for bits 3j, 3j+1, 3j+2
+        return " + ".join(
+            f"shiftleft(CAST((shiftright(h, {3 * j + k}) & 1) AS BIGINT), {20 * k})"
+            for k in range(3)
+        )
 
     votes = hashed.select(
-        id_col, *[packed(j).alias(f"p{j}") for j in range(20)]
+        id_col, *[F.expr(packed_sql(j)).alias(f"p{j}") for j in range(20)]
     )
     sums = votes.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_n"),
         *[F.sum(f"p{j}").alias(f"p{j}") for j in range(20)],
     )
-    fp = F.lit(0).cast("long")
-    for b in range(60):
-        j, k = b // 3, b % 3
-        cnt = F.shiftright(F.col(f"p{j}"), 20 * k).bitwiseAND(F.lit((1 << 20) - 1))
-        fp = fp + F.when(cnt * 2 > F.col("_n"), F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return sums.select(F.col(id_col), fp.alias("simhash60"))
+    fp_sql = " + ".join(
+        f"(CASE WHEN (((shiftright(p{b // 3}, {20 * (b % 3)}) & 1048575) * 2) > _n) "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(60)
+    )
+    return sums.select(F.col(id_col), F.expr(fp_sql).alias("simhash60"))
 
 
 def _banded_hamming_pairs(

@@ -191,23 +191,48 @@ def _with_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     ``lower``/``split`` materialize first (see the per-element
     re-evaluation notes on the extraction helpers). Bigrams are
     inside the CASE, so long-text rows never pay for them."""
+    # round 7: the feature expressions are spelled as SQL strings (one
+    # parser call each) — the generic Column-builder helpers below this
+    # module cost ~0.6 s of py4j round-trips per query construction
+    # (measured); semantics are identical and the helpers remain the
+    # readable/unit-tested reference formulation.
+    shingles_sql = (
+        "CASE WHEN size(_tk) >= 3 THEN array_distinct(transform("
+        "sequence(0, size(_tk) - 3), "
+        "i -> concat_ws(' ', element_at(_tk, i + 1), element_at(_tk, i + 2), "
+        "element_at(_tk, i + 3)))) ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    bigrams_sql = (
+        "CASE WHEN length(_lc) >= 2 THEN array_distinct(transform("
+        "sequence(1, greatest(length(_lc) - 1, 1)), "
+        "i -> substring(_lc, i, 2))) ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
     staged = df.withColumns(
         {"_lc": F.lower(F.col(text_col)), "_tk": F.split(F.col(text_col), " ")}
     )
-    staged = staged.withColumn("_sh", word_shingles_expr(F.col("_tk")))
+    staged = staged.withColumn("_sh", F.expr(shingles_sql))
     staged = staged.withColumn(
         "_fs",
-        F.when(F.size("_sh") >= MIN_SHINGLES, F.col("_sh")).otherwise(
-            char_bigrams_from_lower_expr(F.col("_lc"))
-        ),
+        F.expr(f"CASE WHEN size(_sh) >= {MIN_SHINGLES} THEN _sh ELSE {bigrams_sql} END"),
     ).drop("_lc", "_tk", "_sh")
     staged = staged.withColumn(
-        "_ft", F.transform(F.col("_fs"), lambda t: h60_md5_expr(t))
+        "_ft",
+        F.expr(
+            "transform(_fs, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"
+        ),
     ).drop("_fs")
     staged = staged.withColumns(
-        {f"_m{i}": minhash_slot_expr(F.col("_ft"), i) for i in range(N_SLOTS)}
+        {
+            f"_m{i}": F.expr(
+                f"array_min(transform(_ft, h -> pmod({a} * pmod(h, {_P}) + {b}, {_P})))"
+            )
+            for i, (a, b) in enumerate(SLOT_PERMS[:N_SLOTS])
+        }
     )
-    return staged.withColumn("_lb", size_bucket_expr(F.size("_ft")))
+    lb_sql = " + ".join(
+        f"(CASE WHEN size(_ft) >= {t} THEN 1 ELSE 0 END)" for t in SIZE_BUCKETS
+    )
+    return staged.withColumn("_lb", F.expr(lb_sql))
 
 
 #: below this many state rows the conjunctive blocking's fixed cost
@@ -383,8 +408,13 @@ def resolve_keyless_events(
         .filter(F.col("_rn") == 1)
         .select(F.col("_p_seq").alias("seq"), F.col("_c_conv").alias("_resolved"))
     )
+    # best is ≤ one row per probe (batch-small by construction) but
+    # sits above a window aggregation whose size Spark cannot estimate
+    # — without the hint the left join plans as sort-merge and
+    # shuffles+sorts BOTH sides (round-7 before-plan: Exchange+Sort on
+    # the probe branch just for this join)
     resolved = (
-        keyless.join(best, on="seq", how="left")
+        keyless.join(F.broadcast(best), on="seq", how="left")
         .withColumn(
             "conv_id",
             F.coalesce(F.col("_resolved"), F.concat(F.lit("u"), F.col("seq"))),

@@ -26,6 +26,8 @@ map-side-combinable, and no Python touches the hot path.
 
 from __future__ import annotations
 
+import functools as _functools
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -218,6 +220,8 @@ def priority_merge(
     value_cols: list[str],
     priority: tuple[str, ...] = DEFAULT_SOURCE_PRIORITY,
     key_cols: list[str] | None = None,
+    pre_reduced: bool = False,
+    reduce_strategy: str = "window",
 ) -> DataFrame:
     """Multi-source convergence: one canonical record per key, each
     field from the highest-priority source that provides it.
@@ -230,10 +234,33 @@ def priority_merge(
     Catalyst-optimized. Sources not in ``priority`` rank last (by
     name, deterministic); within one source the latest ``(ts, seq)``
     wins first (A1 + W4 composed).
+
+    ``pre_reduced``: the caller already reduced ``events`` to ≤1 row
+    per (key, source) — skip the internal per-source LWW pass. Lets
+    callers reduce RAW events first and normalize only the winners
+    (the reduce-before-normalize transform: the per-source winner
+    depends only on (ts, seq), so reducing first is result-identical
+    while per-row value work shrinks to key-cardinality).
     """
     keys = key_cols or KEY_COLS
     # Within each (key, source), keep the latest version first.
-    per_source = latest_change_per_key(events, key_cols=keys + ["source"])
+    per_source = (
+        events
+        if pre_reduced
+        else latest_change_per_key(
+            events, key_cols=keys + ["source"], strategy=reduce_strategy
+        )
+    )
+    aggs = list(_priority_pick_aggs(tuple(value_cols), tuple(priority)))
+    return per_source.groupBy(*keys).agg(*aggs)
+
+
+@_functools.lru_cache(maxsize=32)
+def _priority_pick_aggs(value_cols: tuple[str, ...], priority: tuple[str, ...]) -> tuple:
+    """The fixed per-field aggregate Columns of ``priority_merge``,
+    built once per (value_cols, priority) per process (round 7: the
+    trees reference only constant column names, and rebuilding ~30
+    aggregate chains cost ~0.2 s of py4j round-trips per call)."""
 
     def pick(col: str) -> Column:
         tiers = [
@@ -257,7 +284,7 @@ def priority_merge(
     # json_schema.txt:10-13) and the latest event time.
     aggs.append(F.array_sort(F.collect_set("source")).alias("sources"))
     aggs.append(F.max("ts").alias("ts"))
-    return per_source.groupBy(*keys).agg(*aggs)
+    return tuple(aggs)
 
 
 #: system columns carried inside the stored state (never exposed by

@@ -155,7 +155,12 @@ def _buckets_pandas_udf(planes: list[list[list[int]]]):
         b = bits.reshape(len(v), n_tables, n_planes).astype(np.int64) @ weights
         return pd.Series(list(b))
 
-    return buckets
+    # the function IS deterministic; the marker only stops the
+    # optimizer from pushing the posexplode's inferred
+    # size(_bk)>0 filter BELOW the projection and thereby evaluating
+    # the whole Python stage twice per row (two ArrowEvalPython nodes
+    # in the round-7 before-plans — guide §4.4's duplication, same fix)
+    return buckets.asNondeterministic()
 
 
 def bucketed_lsh(
@@ -165,19 +170,29 @@ def bucketed_lsh(
     vec_col: str = "embedding",
     prefix: str = "probe",
     vectorized: bool = True,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """(id, v, nrm) + one row per LSH table with the integer bucket
     (sign bits of the quantized dot products). ``vectorized`` routes
     bucket computation through the Arrow/numpy matmul (default — the
     JVM higher-order-function fold is kept as the dependency-free
-    path and the cross-check in tests)."""
+    path and the cross-check in tests).
+
+    ``checkpoint`` materializes the PRE-explode frame (one row per
+    vector: id, v, nrm, bucket array) — for self-join consumers
+    (``lsh_cosine_pairs``), whose round-7 before-plan computed the
+    whole norm+Python-bucketing subtree once per join side; the
+    checkpoint costs one pass and one corpus-sized (not
+    explode-multiplied) buffer, and both sides then re-slice it."""
     n_tables = len(planes)
     base = _with_norm(df, id_col, vec_col, prefix)
     if vectorized:
         udf = _buckets_pandas_udf(planes)
+        staged = base.withColumn("_bk", udf(F.col(f"{prefix}_v")))
+        if checkpoint:
+            staged = staged.localCheckpoint(eager=True)
         return (
-            base.withColumn("_bk", udf(F.col(f"{prefix}_v")))
-            .select("*", F.posexplode("_bk").alias("table_idx", "bucket"))
+            staged.select("*", F.posexplode("_bk").alias("table_idx", "bucket"))
             .drop("_bk")
         )
     base = base.withColumn("_q", quantize_expr(F.col(f"{prefix}_v")))
@@ -282,7 +297,7 @@ def lsh_cosine_pairs(
     mirrors the identical bucketing so the gate is exact regardless.
     """
     planes = lsh_planes(dim, n_planes, n_tables, seed)
-    b = bucketed_lsh(df, planes, id_col, vec_col, "x")
+    b = bucketed_lsh(df, planes, id_col, vec_col, "x", checkpoint=True)
     a = b.alias("a")
     c = b.alias("c")
     cand = (
@@ -367,7 +382,9 @@ def _cells_pandas_udf(centroids: list[list[float]], nprobe: int = 1):
         out = [[] if z else r.tolist() for z, r in zip(zero, idx.astype("int32"))]
         return pd.Series(out)
 
-    return cells
+    # deterministic in fact; marked to prevent optimizer duplication
+    # of the Python stage (see _buckets_pandas_udf)
+    return cells.asNondeterministic()
 
 
 #: literal-budget above which cell assignment routes through the
@@ -583,7 +600,11 @@ def _int_cells_pandas_udf(cents: list[list[int]], nprobe: int):
         idx = np.argsort(-d, axis=1, kind="stable")[:, :nprobe].astype("int32") + 1
         return pd.Series(list(idx))
 
-    return cells
+    # deterministic in fact; marked to prevent optimizer duplication
+    # of the Python stage (see _buckets_pandas_udf) — the round-7
+    # before-plan showed the corpus-side ranking udf evaluated TWICE
+    # (an inferred isnotnull(cell) filter pushed below the projection)
+    return cells.asNondeterministic()
 
 
 def ivf_knn_portable(

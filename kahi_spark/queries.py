@@ -44,11 +44,21 @@ from kahi_spark.sources.testdata import read_query_table as _read  # noqa: E402
 
 def q_cdc_apply_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full change-log replay → final transcript state.
-    derive → normalize (S1/P4/F7/F11) → LWW reduce (A1/W4) →
-    live rows. One shuffle (the keyed window)."""
+    derive → LWW reduce (A1/W4) → normalize the winners (S1/P4/F7/
+    F11) → live rows. One shuffle (the keyed window).
+
+    Round 7: REDUCE BEFORE NORMALIZE — the pipeline fast path's
+    result-identical transform (the LWW winner depends only on
+    (ts, seq), never on normalized content), applied to the gate
+    query: the regex normalize runs on the ≤1-row-per-key winners
+    (~key-cardinality rows) instead of every raw event. The oracle
+    (normalize-then-reduce SQL) is unchanged and keeps matching by
+    the same argument."""
     ev = derive_transcript_events(spark, sf_dir)
-    state = reduce_events_to_state(normalize_events(ev))
-    return state.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    live = latest_change_per_key(ev).filter(F.col("op") != "delete")
+    return normalize_events(live).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
 
 
 ORACLE_CDC_APPLY_LWW = (
@@ -141,10 +151,21 @@ def q_cdc_multisource_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A7 priority-coalesce merge: the same key arriving from
     several feeds converges to one canonical record, each field from
     the highest-priority source that has it (Kahi ``join_document``
-    re-expression, reference KahiParser.py:334-666)."""
-    ev = normalize_events(derive_transcript_events(spark, sf_dir))
+    re-expression, reference KahiParser.py:334-666).
+
+    Round 7: the per-(key, source) LWW pre-pass runs on RAW events
+    and only the winners are normalized (reduce-before-normalize —
+    the winner depends only on (ts, seq); result-identical, regex
+    work shrinks from every event to key×source cardinality)."""
+    ev = derive_transcript_events(spark, sf_dir)
+    per_source = latest_change_per_key(
+        ev, key_cols=["conv_id", "turn_idx", "source"]
+    )
     merged = priority_merge(
-        ev, value_cols=["role", "text", "tool"], priority=("src0", "src1", "src2")
+        normalize_events(per_source),
+        value_cols=["role", "text", "tool"],
+        priority=("src0", "src1", "src2"),
+        pre_reduced=True,
     )
     return merged.select("conv_id", "turn_idx", "role", "text", "tool")
 

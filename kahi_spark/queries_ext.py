@@ -766,13 +766,23 @@ def q_keyless_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kahi_spark.operators.keyless import resolve_keyless_events
     from kahi_spark.operators.merge import normalize_events, reduce_events_to_state
 
-    ev = normalize_events(derive_transcript_events(spark, sf_dir))
-    evk = ev.withColumn(
+    # round 7: the STATE side reduces RAW events first and normalizes
+    # only the LWW winners (key-cardinality rows) — the winner depends
+    # only on (ts, seq), so this is result-identical to normalizing
+    # every event before the reduce (the pipeline fast path's
+    # transform); the null-marking depends only on seq and commutes
+    # with normalize. Probes still normalize pre-featurization (the
+    # resolver featurizes cleaned text) — but only the keyless slice
+    # survives the pushed-down filter.
+    raw = derive_transcript_events(spark, sf_dir)
+    rawk = raw.withColumn(
         "conv_id",
         F.when(F.col("seq") % 17 == 0, F.lit(None)).otherwise(F.col("conv_id")),
     )
-    state = reduce_events_to_state(evk.filter(F.col("conv_id").isNotNull()))
-    resolved = resolve_keyless_events(evk, state)
+    state = normalize_events(
+        reduce_events_to_state(rawk.filter(F.col("conv_id").isNotNull()))
+    )
+    resolved = resolve_keyless_events(normalize_events(rawk), state)
     return resolved.filter(F.col("seq") % 17 == 0).select("seq", "conv_id")
 
 

@@ -334,28 +334,22 @@ def normalize_doaj(feed: DataFrame) -> DataFrame:
 NORMALIZERS = {src: (lambda f, s=src: _from_struct(f, s)) for src in SCHEMAS}
 
 
-def normalize_feeds(feed: DataFrame) -> DataFrame:
-    """P5 dispatch in ONE scan: a CASE-WHEN over the per-source parsed
-    structs. ``feed`` has (seq, source, payload). Unknown sources
-    yield a NULL struct (dropped — the reference skips unparseable
-    records too).
+import functools
 
-    Each source's ``from_json`` materializes as its OWN source-gated
-    column first (``when(source==s, from_json(...))`` — lazy, so each
-    row is parsed exactly once, by its own schema), and the CASE
-    branches only EXTRACT fields from the parsed structs. Referencing
-    ``from_json`` directly inside the branch struct would re-parse
-    the payload once per canonical field (7×/row — measured 3.5× the
-    whole normalize cost; the same re-evaluation family as the
-    transform-lambda and CollapseProject pitfalls)."""
-    parsed = feed.select(
-        "seq",
-        "source",
-        *[
-            F.when(F.col("source") == src, F.from_json(F.col("payload"), SCHEMAS[src]))
-            .alias(f"_p_{src}")
-            for src in SCHEMAS
-        ],
+
+@functools.lru_cache(maxsize=1)
+def _dispatch_exprs() -> tuple:
+    """The fixed Column trees of the one-scan dispatcher, built ONCE
+    per process (round 7): every expression here references only the
+    constant column names ``source``/``payload``/``_p_<src>``, so the
+    trees are input-independent and reusable across DataFrames and
+    sessions in one JVM — rebuilding them cost ~0.4 s of py4j
+    round-trips on every normalize_feeds call (two gated queries and
+    the feed cache builder each pay it)."""
+    parsed_cols = tuple(
+        F.when(F.col("source") == src, F.from_json(F.col("payload"), SCHEMAS[src]))
+        .alias(f"_p_{src}")
+        for src in SCHEMAS
     )
     expr: Column | None = None
     for src, fn in FIELDS.items():
@@ -373,6 +367,25 @@ def normalize_feeds(feed: DataFrame) -> DataFrame:
             else expr.when(F.col("source") == src, branch)
         )
     assert expr is not None
+    return parsed_cols, expr
+
+
+def normalize_feeds(feed: DataFrame) -> DataFrame:
+    """P5 dispatch in ONE scan: a CASE-WHEN over the per-source parsed
+    structs. ``feed`` has (seq, source, payload). Unknown sources
+    yield a NULL struct (dropped — the reference skips unparseable
+    records too).
+
+    Each source's ``from_json`` materializes as its OWN source-gated
+    column first (``when(source==s, from_json(...))`` — lazy, so each
+    row is parsed exactly once, by its own schema), and the CASE
+    branches only EXTRACT fields from the parsed structs. Referencing
+    ``from_json`` directly inside the branch struct would re-parse
+    the payload once per canonical field (7×/row — measured 3.5× the
+    whole normalize cost; the same re-evaluation family as the
+    transform-lambda and CollapseProject pitfalls)."""
+    parsed_cols, expr = _dispatch_exprs()
+    parsed = feed.select("seq", "source", *parsed_cols)
     return (
         parsed.select("seq", "source", expr.alias("_c"))
         .filter(F.col("_c").isNotNull())
