@@ -172,11 +172,16 @@ class LshDedupIndex:
         # compaction story as the snapshot sink's deltas.
         out = None
         for d in dirs:
-            if any(
-                f.is_file() and f.name.endswith(".parquet") for f in os.scandir(d)
+            if (
+                any(f.is_file() and f.name.endswith(".parquet") for f in os.scandir(d))
+                or self._epoch_modulus(d) != self.n_buckets
             ):
-                # legacy pre-bucketing epoch (flat files): derive the
-                # bucket column on the fly — a bucket filter still
+                # legacy pre-bucketing epoch (flat files), or an epoch
+                # whose bucket=k/ directories were written under a
+                # DIFFERENT n_buckets than this handle's (round-6
+                # ADVICE: trusting those partition values would
+                # silently prune away true band_sig matches): derive
+                # the bucket column on the fly — a bucket filter still
                 # applies, just as a DataFilter instead of a
                 # PartitionFilter, and no candidates are lost
                 df = (
@@ -192,6 +197,22 @@ class LshDedupIndex:
                 df = self.spark.read.schema(schema).parquet(d)  # type: ignore[arg-type]
             out = df if out is None else out.unionByName(df)
         return out
+
+    @staticmethod
+    def _epoch_modulus(band_epoch_dir: str) -> int | None:
+        """The ``n_buckets`` a bands epoch directory was WRITTEN with
+        (``_modulus-<n>`` marker, committed atomically with the epoch;
+        ``None`` for pre-marker epochs — which then read through the
+        derived-bucket DataFilter path, never the trusted partition
+        values). Underscore-prefixed files are invisible to Spark's
+        readers, like ``_SUCCESS``."""
+        try:
+            for e in os.scandir(band_epoch_dir):
+                if e.is_file() and e.name.startswith("_modulus-"):
+                    return int(e.name.split("-", 1)[1])
+        except OSError:
+            return None
+        return None
 
     def existing_sigs(self) -> DataFrame:
         return self._read("sigs", "key string, sig array<bigint>")
@@ -236,6 +257,14 @@ class LshDedupIndex:
             if part_cols:
                 w = w.partitionBy(*part_cols)
             w.parquet(tmp)
+            if sub == "bands":
+                # record the write-time bucket modulus INSIDE the epoch
+                # dir (swapped in atomically with it): readers only
+                # trust the bucket=k/ partition values when this
+                # matches their own n_buckets (round-6 ADVICE —
+                # modulus drift on reopen silently lost candidates)
+                with open(os.path.join(tmp, f"_modulus-{self.n_buckets}"), "w"):
+                    pass
             swaps.append((tmp, final))
         for tmp, final in swaps:
             shutil.rmtree(final, ignore_errors=True)

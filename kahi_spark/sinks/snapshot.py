@@ -826,6 +826,16 @@ class SnapshotTable:
                 due, minor = True, True
         else:
             due = n_deltas >= self.compact_every
+            # the minor tier is live in fixed-interval mode too — it
+            # was silently inert without compact_ratio (round-6
+            # ADVICE): a user passing only compact_minor_every got
+            # unbounded delta fan-in between the compact_every majors
+            if (
+                not due
+                and self.compact_minor_every
+                and n_deltas >= self.compact_minor_every
+            ):
+                due, minor = True, True
         if due:
             if self.compact_async:
                 self._spawn_compact(minor=minor)

@@ -318,3 +318,35 @@ def test_bucketed_bands_partition_pruning(spark, tmp_path):
     # correctness through the pruned path: the probe near-dups c1
     got = {(r.key, r.match_key) for r in dups.collect()}
     assert ("p1", "c1:0") in got
+
+
+def test_reopen_with_different_n_buckets_keeps_candidates(spark, tmp_path):
+    """Round-7 ADVICE fix (modulus drift): bucket=k/ partition values
+    written under one ``n_buckets`` must not be trusted by a handle
+    opened with another — each bands epoch carries a ``_modulus-<n>``
+    marker, and mismatched epochs read through the derived-bucket
+    DataFilter path. Pins: (a) every band row stays visible with the
+    bucket recomputed under the READER's modulus (the old code served
+    stored mod-8 values to a mod-4 handle, silently pruning true
+    matches), (b) a cross-epoch near-dup still drops after reopen."""
+    idx8 = LshDedupIndex(spark, str(tmp_path / "idx"), threshold=0.8, n_buckets=8)
+    b0 = spark.createDataFrame(
+        [_ev(0, "insert", "c1", 0, _BASE), _ev(1, "insert", "c3", 0, _OTHER)], _EV
+    )
+    idx8.dedup_batch(b0, epoch_id=0)
+
+    idx4 = LshDedupIndex(spark, str(tmp_path / "idx"), threshold=0.8, n_buckets=4)
+    rows = idx4.existing_bands().collect()
+    assert len(rows) == 2 * 16  # both docs' bands fully visible
+    assert all(r.bucket == r.band_sig % 4 for r in rows)
+
+    b1 = spark.createDataFrame([_ev(10, "insert", "c9", 0, _NEARDUP)], _EV)
+    kept, n = idx4.dedup_batch(b1, epoch_id=1)
+    assert n == 1 and kept.count() == 0
+
+    # the matched-modulus handle still statically prunes (partition
+    # values trusted when the marker agrees)
+    rows8 = LshDedupIndex(
+        spark, str(tmp_path / "idx"), threshold=0.8, n_buckets=8
+    ).existing_bands().collect()
+    assert all(r.bucket == r.band_sig % 8 for r in rows8 if r.band_sig is not None)

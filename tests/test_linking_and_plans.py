@@ -95,7 +95,10 @@ def test_lsh_join_is_equi_join(spark):
 
 def test_cdc_reduce_is_single_shuffle(spark):
     """The LWW replay plan shuffles exactly once (the keyed window) —
-    normalization stays in the scan stage (whole-stage codegen)."""
+    and since round 7 the query REDUCES BEFORE NORMALIZING (the
+    pipeline fast path's result-identical transform): the regex
+    cleaner runs on the post-shuffle LWW winners only, never on every
+    raw event."""
     from kahi_spark.queries import q_cdc_apply_lww
 
     q = q_cdc_apply_lww(spark, SF)
@@ -105,10 +108,13 @@ def test_cdc_reduce_is_single_shuffle(spark):
     # Spark inserts a PARTIAL WindowGroupLimit before the shuffle —
     # map-side top-1 per key, the CDC compaction we want at 10^10
     assert "WindowGroupLimit" in plan and "Partial" in plan, plan
-    # normalization (role map, regex cleaner) is fused into the scan
-    # stage, pre-shuffle
-    pre_exchange = plan.split("Exchange hashpartitioning")[1]
-    assert "regexp_replace" in pre_exchange
+    # normalization (regex cleaner) runs ABOVE the exchange, on the
+    # reduced winners (plan text prints top-down: operators above the
+    # Exchange appear before the marker), and is absent from the
+    # map/scan side below it
+    above, below = plan.split("Exchange hashpartitioning", 1)
+    assert "regexp_replace" in above, plan
+    assert "regexp_replace" not in below, plan
 
 def test_round2_query_plans_have_no_cartesian_products(spark):
     """Plan-shape regression guard for the round-2 gated queries:

@@ -545,3 +545,35 @@ def test_minor_crash_leftovers_swept_and_harmless(spark, tmp_path):
     assert not os.path.exists(str(tmp_path / "t" / "_minor_out_deadbeef"))
     assert not os.path.exists(str(tmp_path / "t" / "dm00000000"))
     assert sorted_state(t) == before
+
+
+def test_minor_tier_live_in_fixed_interval_mode(spark, tmp_path):
+    """Round-7 ADVICE fix: ``compact_minor_every`` fires in the
+    ratio-LESS (fixed-interval) configuration too — it used to be
+    silently inert without ``compact_ratio``, leaving unbounded delta
+    fan-in between the ``compact_every`` majors. Pins: minors fire,
+    fan-in stays bounded, and state matches a compaction-free twin."""
+    pdf = make_events(3000, n_convs=200, seed=45, delete_rate=0.1)
+    df = spark.createDataFrame(pdf)
+    plain = SnapshotTable(
+        spark, str(tmp_path / "pl"), n_buckets=4, mode="mor", compact_every=100
+    )
+    tiered = SnapshotTable(
+        spark, str(tmp_path / "ti"), n_buckets=4, mode="mor",
+        compact_every=100, compact_minor_every=2,  # NO compact_ratio
+    )
+    per = 500
+    for e in range(6):
+        batch = df.filter((F.col("seq") >= e * per) & (F.col("seq") < (e + 1) * per))
+        plain.merge(batch, epoch_id=e)
+        tiered.merge(batch, epoch_id=e)
+        import json as _json
+        import os as _os
+
+        man = _json.loads(
+            open(_os.path.join(str(tmp_path / "ti"), "_manifest.json")).read()
+        )
+        assert len(man["deltas"]) <= 2, (e, man["deltas"])
+    ops = [c["op"] for c in tiered.history()]
+    assert "compact-minor" in ops and "compact" not in ops
+    assert sorted_state(plain) == sorted_state(tiered)
