@@ -14,6 +14,8 @@ construction, so no skew; candidates are a tiny fraction of pairs.
 
 from __future__ import annotations
 
+import functools as _functools
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -224,6 +226,27 @@ def minhash_signatures(
     return shingles.groupBy(id_col).agg(*aggs)
 
 
+@_functools.lru_cache(maxsize=8)
+def _band_explode_col(n_bands: int, rows: int) -> Column:
+    """The banding explode Column over the fixed ``mh_i`` signature
+    names — input-independent, built once per (n_bands, rows) per
+    process (round 7: ~100 py4j calls per query construction
+    otherwise; see the expr-string note in with_simhash60_md5)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.xxhash64(
+                        *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+                    ).alias("band_sig"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -245,20 +268,7 @@ def minhash_lsh_pairs(
         shingle_df(docs, id_col, text_col, n), id_col, n_hashes, seed
     )
     bands = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.xxhash64(
-                            *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
-                        ).alias("band_sig"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
+        F.col(id_col), _band_explode_col(n_bands, rows).alias("band")
     ).select(id_col, "band.band_idx", "band.band_sig")
     a = bands.alias("a")
     b = bands.alias("b")

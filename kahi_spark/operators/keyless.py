@@ -235,6 +235,43 @@ def _with_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return staged.withColumn("_lb", F.expr(lb_sql))
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=1)
+def _probe_block_explode() -> Column:
+    """Probe-side (±1 lb × slot) block-row explode — a fixed Column
+    tree over the constant ``_lb``/``_m<i>`` names, built once per
+    process (round 7: the 12-struct loop cost ~0.1 s of py4j per
+    resolve construction)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    (F.col("_lb") + d).alias("_lb"),
+                    F.lit(i).alias("_si"),
+                    F.col(f"_m{i}").alias("_sv"),
+                )
+                for d in (-1, 0, 1)
+                for i in range(N_SLOTS)
+            ]
+        )
+    )
+
+
+@_functools.lru_cache(maxsize=1)
+def _state_slot_explode() -> Column:
+    """State-side slot explode (fixed tree; see _probe_block_explode)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("_si"), F.col(f"_m{i}").alias("_sv"))
+                for i in range(N_SLOTS)
+            ]
+        )
+    )
+
+
 #: below this many state rows the conjunctive blocking's fixed cost
 #: (probe-side ±1-bucket × N_SLOTS explosion, 4-column hash keys)
 #: exceeds what it saves — a single block key recovers the small-
@@ -353,21 +390,7 @@ def resolve_keyless_events(
         # offsets keep bucket-boundary recall, N_SLOTS rows give
         # any-slot-matches
         p_slim = p.select(
-            "_p_seq",
-            "turn_idx",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            (F.col("_lb") + d).alias("_lb"),
-                            F.lit(i).alias("_si"),
-                            F.col(f"_m{i}").alias("_sv"),
-                        )
-                        for d in (-1, 0, 1)
-                        for i in range(N_SLOTS)
-                    ]
-                )
-            ).alias("_blk"),
+            "_p_seq", "turn_idx", _probe_block_explode().alias("_blk")
         ).select("_p_seq", "turn_idx", "_blk._lb", "_blk._si", "_blk._sv")
         cands = (
             c.select(
@@ -376,14 +399,7 @@ def resolve_keyless_events(
                 "_c_role",
                 F.col("_ft").alias("_c_ft"),
                 "_lb",
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(F.lit(i).alias("_si"), F.col(f"_m{i}").alias("_sv"))
-                            for i in range(N_SLOTS)
-                        ]
-                    )
-                ).alias("_blk"),
+                _state_slot_explode().alias("_blk"),
             )
             .select(
                 "_c_conv", "turn_idx", "_c_role", "_c_ft", "_lb", "_blk._si", "_blk._sv"

@@ -43,7 +43,16 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
 
 
-def _with_norm(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=16)
+def _norm_cols(id_col: str, vec_col: str, prefix: str) -> tuple:
+    """The fixed (id, v, nrm) projection Columns of ``_with_norm`` —
+    input-independent trees over constant column names, built once per
+    (id_col, vec_col, prefix) per process (round 7: the zip_with/
+    aggregate lambda construction costs ~0.1 s of py4j per call, and
+    the similarity queries build it 2-4×)."""
     v = _as_double(F.col(vec_col))
     # zero-norm guard (round-5 review): an all-zero embedding made
     # score = 0.0/0.0 = NaN, which Spark RANKS ABOVE every real score
@@ -51,11 +60,15 @@ def _with_norm(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFra
     # rank-1 neighbor of every probe. nullif makes the norm NULL →
     # score NULL → excluded by threshold filters and ranked last by
     # desc (nulls-last), matching DuckDB where 0/0 is NULL.
-    return df.select(
+    return (
         F.col(id_col).alias(f"{prefix}_id"),
         v.alias(f"{prefix}_v"),
         F.nullif(F.sqrt(_dot(v, v)), F.lit(0.0)).alias(f"{prefix}_nrm"),
     )
+
+
+def _with_norm(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    return df.select(*_norm_cols(id_col, vec_col, prefix))
 
 
 def knn_bruteforce(
