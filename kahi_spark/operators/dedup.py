@@ -301,42 +301,36 @@ def with_simhash(
     Two selects on purpose: the vote vector is materialized as its
     own column before the 64-reference bit-fold; inlining it would
     re-evaluate the whole token aggregate per referenced bit
-    (CollapseProject keeps multi-referenced non-cheap aliases)."""
-    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    (CollapseProject keeps multi-referenced non-cheap aliases).
 
-    def bits_pm1(h):  # ±1 vote per bit; bit positions unrolled statically
-        return F.array(
-            *[
-                F.when(
-                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                ).otherwise(F.lit(-1))
-                for b in range(bits)
-            ]
-        )
-
-    # xxhash64(t) appears in all 64 when-branches of bits_pm1, but
-    # this is NOT the per-element re-evaluation trap: interpreted
-    # expressions get runtime subexpression elimination
-    # (SubExprEvaluationRuntime), so the hash runs once per token.
-    # MEASURED (sf0.1, round-5 review follow-up): pre-hashing via
-    # F.transform into an intermediate array is 4× SLOWER (0.5 s →
-    # 2.1 s warm) than this direct form — don't "fix" it.
-    votes = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0).cast("int"), bits),
-        lambda acc, t: F.zip_with(acc, bits_pm1(F.xxhash64(t)), lambda a, v: a + v),
+    Round 7: both big expressions are built as SQL strings (one parser
+    call each — the Column-operator loops cost ~1 s of py4j round-trips
+    per construction; same fix as the md5 variants). xxhash64(t)
+    appears in all 64 vote branches, but this is NOT the per-element
+    re-evaluation trap: interpreted expressions get runtime
+    subexpression elimination, so the hash runs once per token.
+    MEASURED (sf0.1, round-5 review follow-up): pre-hashing via
+    F.transform into an intermediate array is 4× SLOWER (0.5 s →
+    2.1 s warm) than this direct form — don't "fix" it."""
+    vote_terms = ", ".join(
+        f"CASE WHEN (shiftright(xxhash64(t), {b}) & 1) = 1 THEN 1 ELSE -1 END"
+        for b in range(bits)
     )
-    staged = docs.select(F.col(id_col), votes.alias("_votes"))
-    # top bit uses the sign position of the signed long
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        weight = (1 << b) if b < 63 else -(1 << 63)
-        out = out.bitwiseOR(
-            F.when(
-                F.element_at(F.col("_votes"), b + 1) > 0, F.lit(weight).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    return staged.select(F.col(id_col), out.alias(out_col))
+    votes_sql = (
+        f"aggregate(array_distinct(split({text_col}, ' ')), "
+        f"array_repeat(CAST(0 AS INT), {bits}), "
+        f"(acc, t) -> zip_with(acc, array({vote_terms}), (a, v) -> a + v))"
+    )
+    staged = docs.select(F.col(id_col), F.expr(votes_sql).alias("_votes"))
+    # top bit uses the sign position of the signed long; its weight is
+    # spelled shiftleft(1, 63) — the literal -2^63 does not parse as a
+    # BIGINT (the positive half overflows before the unary minus)
+    fp_sql = " | ".join(
+        "(CASE WHEN element_at(_votes, %d) > 0 THEN %s ELSE CAST(0 AS BIGINT) END)"
+        % (b + 1, f"CAST({1 << b} AS BIGINT)" if b < 63 else "shiftleft(CAST(1 AS BIGINT), 63)")
+        for b in range(bits)
+    )
+    return staged.select(F.col(id_col), F.expr(fp_sql).alias(out_col))
 
 
 def with_simhash32_md5(
