@@ -327,55 +327,64 @@ def resolve_keyless_events(
     keyed = events.filter(F.col("conv_id").isNotNull())
     keyless = events.filter(F.col("conv_id").isNull())
 
-    p = _with_features(
-        keyless.select(
-            F.col("seq").alias("_p_seq"),
-            F.col("turn_idx"),
-            F.col("role").alias("_p_role"),
-            F.col("text"),
-        )
-    )
-    # materialize the probe features ONCE. Two reasons, both measured
-    # (profile in BASELINE.md round 5): (a) the ±1-bucket × N_SLOTS
-    # explode below references _m*/_lb across 12 struct elements, and
-    # Catalyst's projection collapse re-evaluates the md5/shingle
-    # featurization per exploded element (~12× the one-shot cost —
-    # 4.0 s of the gate query's 4.9 s); (b) p is consumed twice
-    # (block rows + scoring re-join). Probes are batch-small BY
-    # DESIGN (the keyless fraction of one epoch), so the checkpoint
-    # is one tiny job; state-side features are consumed once and come
-    # from the persistent index at scale — never checkpointed here.
-    p = p.localCheckpoint(eager=True)
-    # slim probe block rows, exploded to (lb offset × slot): the
-    # equi-join hash-keys on ALL FOUR block columns; ±1 lb offsets
-    # keep bucket-boundary recall, N_SLOTS rows give any-slot-matches
+    # The featurized frames are materialized ONCE (eager checkpoint).
+    # Two reasons, both measured (profile in BASELINE.md round 5):
+    # (a) the ±1-bucket × N_SLOTS explode below references _m*/_lb
+    # across 12 struct elements, and Catalyst's projection collapse
+    # re-evaluates the md5/shingle featurization per exploded element
+    # (~12× the one-shot cost — 4.0 s of the gate query's 4.9 s);
+    # (b) p is consumed twice (block rows + scoring re-join). Probes
+    # are batch-small BY DESIGN (the keyless fraction of one epoch).
+    _feat_cols = ["_ft", *[f"_m{i}" for i in range(N_SLOTS)], "_lb"]
     if state_features is not None:
+        # persistent-index mode (the 10^10-row shape): state features
+        # come precomputed; only the probes featurize + checkpoint
+        p = _with_features(
+            keyless.select(
+                F.col("seq").alias("_p_seq"),
+                F.col("turn_idx"),
+                F.col("role").alias("_p_role"),
+                F.col("text"),
+            )
+        ).localCheckpoint(eager=True)
         c = state_features.select(
             F.col("conv_id").alias("_c_conv"),
             F.col("turn_idx"),
             F.col("role").alias("_c_role"),
-            "_ft",
-            *[f"_m{i}" for i in range(N_SLOTS)],
-            "_lb",
+            *_feat_cols,
         )
     else:
-        c = _with_features(
-            state.select(
-                F.col("conv_id").alias("_c_conv"),
-                F.col("turn_idx"),
-                F.col("role").alias("_c_role"),
-                F.col("text"),
-            )
+        # recompute-per-batch mode: featurize probes AND state in ONE
+        # tagged-union pass and checkpoint once (round 7 — two eager
+        # checkpoint jobs were ~1.2 s of the gate query; the fused
+        # single job A/B'd 2.5-3.1 s vs 2.9-3.7 s end-to-end,
+        # checksum-equal). NULL-typed id columns on the opposite side
+        # keep the union schema exact with no value round-trips.
+        seq_t = events.schema["seq"].dataType
+        conv_t = state.schema["conv_id"].dataType
+        pu = keyless.select(
+            F.lit("p").alias("_side"),
+            F.col("seq").alias("_p_seq"),
+            F.lit(None).cast(conv_t).alias("_c_conv"),
+            F.col("turn_idx"),
+            F.col("role").alias("_role"),
+            F.col("text"),
         )
-        # recompute-per-batch mode only: materialize the state
-        # features once. The N_SLOTS explode below would otherwise
-        # re-evaluate the md5/shingle featurization per slot element
-        # (~4× — measured, BASELINE.md round 5). At 10^10 rows the
-        # features come precomputed from ``state_features`` (the
-        # persistent index) and this branch never runs — so the
-        # checkpoint is bounded by the small-deployment state size
-        # it is already re-featurizing per batch.
-        c = c.localCheckpoint(eager=True)
+        cu = state.select(
+            F.lit("c").alias("_side"),
+            F.lit(None).cast(seq_t).alias("_p_seq"),
+            F.col("conv_id").alias("_c_conv"),
+            F.col("turn_idx"),
+            F.col("role").alias("_role"),
+            F.col("text"),
+        )
+        feats = _with_features(pu.unionByName(cu)).localCheckpoint(eager=True)
+        p = feats.filter(F.col("_side") == "p").select(
+            "_p_seq", "turn_idx", F.col("_role").alias("_p_role"), *_feat_cols
+        )
+        c = feats.filter(F.col("_side") == "c").select(
+            "_c_conv", "turn_idx", F.col("_role").alias("_c_role"), *_feat_cols
+        )
     if blocking == "auto":
         blocking = "single" if c.count() < SMALL_STATE_ROWS else "conjunctive"
     if blocking == "single":
