@@ -47,6 +47,12 @@ from kahi_spark.schema import KEY_COLS
 DEFAULT_SOURCE_PRIORITY = ("lens", "wos", "scopus", "scielo", "scholar", "oadoi")
 
 
+#: columns (re)written by ``normalize_events`` — the reduce-fusion
+#: check below must know the normalize NEVER touches the reduction
+#: keys or the (ts, seq) replay ordering
+_NORMALIZED_COLS = frozenset({"role", "tool", "text"})
+
+
 def normalize_events(events: DataFrame, use_pandas_cleaner: bool = False) -> DataFrame:
     """Raw change events → canonical event columns.
 
@@ -55,6 +61,13 @@ def normalize_events(events: DataFrame, use_pandas_cleaner: bool = False) -> Dat
     ``use_pandas_cleaner`` to route text through the Arrow-batched
     pandas UDF instead (same semantics, used to benchmark the two
     paths against each other).
+
+    The returned frame carries a fusion tag: when it flows DIRECTLY
+    into ``latest_change_per_key`` (the replay composition
+    ``reduce(normalize(ev))``), the reduce rewrites itself to
+    reduce-first / normalize-the-winners — see the fusion note there.
+    Any intermediate transformation drops the tag and the composition
+    runs exactly as written.
     """
     from kahi_spark.functions.text import clean_text_pandas
     from kahi_spark.functions.tools import strip_tool_marker_expr
@@ -63,7 +76,7 @@ def normalize_events(events: DataFrame, use_pandas_cleaner: bool = False) -> Dat
     cleaner: Column = (
         clean_text_pandas(stripped) if use_pandas_cleaner else clean_text_expr(stripped)
     )
-    return events.withColumns(
+    out = events.withColumns(
         {
             "role": canonical_role_expr("role"),
             # tool first (extracted from raw text), then text loses the marker
@@ -71,6 +84,12 @@ def normalize_events(events: DataFrame, use_pandas_cleaner: bool = False) -> Dat
             "text": cleaner,
         }
     )
+    # fusion tag: the raw parent + the cleaner flavor, consumed (and
+    # validated) by latest_change_per_key. A plain instance attribute:
+    # every DataFrame transformation returns a NEW object, so the tag
+    # cannot leak past `out` itself.
+    out._kahi_deferred_normalize = (events, use_pandas_cleaner)
+    return out
 
 
 def _ordering(desc: bool = True) -> list[Column]:
@@ -174,6 +193,24 @@ def latest_change_per_key(
     partition cannot even hold the hot key's rows.
     """
     keys = key_cols or KEY_COLS
+    # reduce↔normalize fusion (round 7, guide §2.2 "shuffle fewer
+    # bytes / do less work before the shuffle"): when the input is the
+    # DIRECT output of normalize_events, rewrite reduce(normalize(ev))
+    # → normalize(reduce(ev)). Result-identical because the winner per
+    # key depends ONLY on (key_cols, ts, seq) — none of which
+    # normalize touches (checked below, not assumed) — and the
+    # normalize columns are row-wise functions of the winning row.
+    # Catalyst has no rule to defer expensive projections past a
+    # Window/aggregate, so at 24M events the regex cleaner ran on
+    # every raw event (measured: normalize was >50% of the n32 replay
+    # wall) instead of on the ~half that survive LWW.
+    defer = getattr(events, "_kahi_deferred_normalize", None)
+    if defer is not None and not ({*keys, "ts", "seq"} & _NORMALIZED_COLS):
+        raw, use_pandas = defer
+        reduced = latest_change_per_key(
+            raw, key_cols=keys, salt_buckets=salt_buckets, strategy=strategy
+        )
+        return normalize_events(reduced, use_pandas_cleaner=use_pandas)
     if strategy == "auto":
         strategy = pick_reduce_strategy(events, keys)
     if strategy == "agg":

@@ -244,3 +244,78 @@ def test_auto_strategy_picks_and_matches(spark):
         w = sorted(map(tuple, reduce_events_to_state(df, strategy="window").collect()))
         au = sorted(map(tuple, reduce_events_to_state(df, strategy="auto").collect()))
         assert w == au
+
+
+# ---------------------------------------------------------------------------
+# round 7: reduce↔normalize fusion
+# ---------------------------------------------------------------------------
+
+
+def _fusion_fixture(spark):
+    """Adversarial raw events: LOSING revisions carry TeX/markup/tool
+    markers and messy roles — if the fusion normalized the wrong row
+    (or the winner pick looked at normalized content) these rows
+    would surface in the output."""
+    rows = [
+        ev(0, "insert", "c1", 0, r"\alpha $x$ <tool:bad> loser", 0, role="USER "),
+        ev(1, "update", "c1", 0, r"\beta {kept} [tool=srch] win", 9, role=" Assistant"),
+        ev(2, "insert", "c1", 1, "plain", 1, tool=" t1 "),
+        ev(3, "delete", "c1", 1, r"\gone^", 8),
+        ev(4, "insert", "c2", 0, "<tool:a>x", 2, source="wos"),
+        ev(5, "update", "c2", 0, "<tool:b>y", 1, source="scopus"),  # older ts loses
+    ]
+    return spark.createDataFrame(rows, EVENT_COLS)
+
+
+def test_reduce_normalize_fusion_parity(spark):
+    """reduce(normalize(ev)) with the fusion tag must equal the
+    literal eager composition (tag stripped via select('*')) for
+    every strategy/salt shape, on rows designed to differ if the
+    rewrite ever normalized losers into winners."""
+    from kahi_spark.operators.merge import normalize_events
+
+    raw = _fusion_fixture(spark)
+    for kwargs in (
+        {},
+        {"strategy": "agg"},
+        {"salt_buckets": 4},
+        {"key_cols": ["conv_id", "turn_idx", "source"]},
+    ):
+        fused = latest_change_per_key(normalize_events(raw), **kwargs)
+        eager = latest_change_per_key(normalize_events(raw).select("*"), **kwargs)
+        assert sorted(map(tuple, fused.collect())) == sorted(
+            map(tuple, eager.collect())
+        ), kwargs
+    # reduce_events_to_state composition (the frozen bench.py scaling
+    # job's exact shape) — fused vs eager
+    f = reduce_events_to_state(normalize_events(raw))
+    e = reduce_events_to_state(normalize_events(raw).select("*"))
+    assert sorted(map(tuple, f.collect())) == sorted(map(tuple, e.collect()))
+
+
+def test_reduce_normalize_fusion_plan_and_guard(spark):
+    """The fused plan runs the regex cleaner ABOVE the key exchange
+    (winners only); a key set that overlaps the normalized columns
+    must decline the fusion (winner would then depend on normalize)."""
+    from kahi_spark.operators.merge import normalize_events
+
+    raw = _fusion_fixture(spark)
+    fused = latest_change_per_key(normalize_events(raw))
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    above, below = plan.split("Exchange hashpartitioning", 1)
+    assert "regexp_replace" in above, plan
+    assert "regexp_replace" not in below, plan
+    # guard: text in the key → no fusion (regex stays below the
+    # exchange), results equal the eager composition
+    fused_no = latest_change_per_key(
+        normalize_events(raw), key_cols=["conv_id", "text"]
+    )
+    plan_no = fused_no._jdf.queryExecution().executedPlan().toString()
+    _, below_no = plan_no.split("Exchange hashpartitioning", 1)
+    assert "regexp_replace" in below_no, plan_no
+    eager_no = latest_change_per_key(
+        normalize_events(raw).select("*"), key_cols=["conv_id", "text"]
+    )
+    assert sorted(map(tuple, fused_no.collect())) == sorted(
+        map(tuple, eager_no.collect())
+    )
