@@ -45,3 +45,19 @@ def test_steal_sampler_safe_in_any_call_order():
     sm = _StealSampler()
     sm.mark("phase")
     assert sm.report() == {}
+
+
+def test_default_local_dir_selection(monkeypatch, tmp_path):
+    """Scratch-dir policy (round 7): env override wins (empty string =
+    Spark default), tmpfs auto-pick requires existence+writability+
+    headroom — a missing /dev/shm must fall back to None, never throw."""
+    from kahi_spark import session as S
+
+    monkeypatch.setenv("KAHI_SPARK_LOCAL_DIR", str(tmp_path))
+    assert S._default_local_dir() == str(tmp_path)
+    monkeypatch.setenv("KAHI_SPARK_LOCAL_DIR", "")
+    assert S._default_local_dir() is None
+    monkeypatch.delenv("KAHI_SPARK_LOCAL_DIR")
+    # force the probe down the no-tmpfs path
+    monkeypatch.setattr(S.os, "statvfs", lambda p: (_ for _ in ()).throw(OSError()))
+    assert S._default_local_dir() is None
